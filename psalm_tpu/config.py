@@ -1,0 +1,234 @@
+"""Typed configuration tree for psalm_tpu.
+
+Replaces the reference's three-way config tangle (HF dataclasses at
+psalm/train/train.py:54-141, detectron2-style YAML chain under
+psalm/mask_config/, DeepSpeed JSON at scripts/zero2.json) with one frozen
+dataclass tree. Default values reproduce the reference's active config chain
+maskformer2_swin_base_384_bs16_50ep.yaml -> Base-COCO-InstanceSegmentation.yaml
+-> maskformer2_R50_bs16_50ep.yaml plus the Phi-1.5 HF config
+(susnato/phi-1_5_dev, transformers 4.36.2).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Optional, Tuple
+
+
+class SegTask(str, enum.Enum):
+    """Task switch reproducing the reference's SEG_TASK semantics.
+
+    Drives which inference heads run, exactly as the switch block at
+    psalm/model/language_model/llava_phi.py:268-301.
+    """
+
+    SEMANTIC = "semantic"
+    INSTANCE = "instance"
+    PANOPTIC = "panoptic"
+    REFERRING = "referring"
+    REGION = "region"
+
+    @property
+    def semantic_on(self) -> bool:
+        return self in (SegTask.SEMANTIC, SegTask.PANOPTIC)
+
+    @property
+    def instance_on(self) -> bool:
+        return self in (SegTask.INSTANCE, SegTask.PANOPTIC)
+
+    @property
+    def panoptic_on(self) -> bool:
+        return self is SegTask.PANOPTIC
+
+    @property
+    def referring_on(self) -> bool:
+        return self is SegTask.REFERRING
+
+    @property
+    def region_on(self) -> bool:
+        return self is SegTask.REGION
+
+    @property
+    def postprocess_before_inference(self) -> bool:
+        # llava_phi.py:301
+        return self.instance_on or self.panoptic_on or self.referring_on or self.region_on
+
+
+@dataclasses.dataclass(frozen=True)
+class PhiConfig:
+    """Phi-1.5 decoder config (HF susnato/phi-1_5_dev, transformers 4.36.2).
+
+    Phi uses parallel attention+MLP residual branches sharing one input
+    layernorm, partial rotary embeddings (rotary over the first
+    ``rotary_dim`` channels of each 64-d head), and gelu_new MLP.
+    """
+
+    vocab_size: int = 51200
+    hidden_size: int = 2048
+    intermediate_size: int = 8192
+    num_layers: int = 24
+    num_heads: int = 32
+    max_position_embeddings: int = 2048
+    partial_rotary_factor: float = 0.5
+    rope_theta: float = 10000.0
+    layer_norm_eps: float = 1e-5
+    # PSALM overrides the HF lm_head with a bias-free linear
+    # (llava_phi.py:156).
+    lm_head_bias: bool = False
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    @property
+    def rotary_dim(self) -> int:
+        return int(self.head_dim * self.partial_rotary_factor)
+
+
+@dataclasses.dataclass(frozen=True)
+class SwinConfig:
+    """Swin backbone config; defaults are Swin-B per build_swin_b
+    (psalm/model/multimodal_encoder/swin_trans.py:660-678)."""
+
+    patch_size: int = 4
+    in_chans: int = 3
+    embed_dim: int = 128
+    depths: Tuple[int, ...] = (2, 2, 18, 2)
+    num_heads: Tuple[int, ...] = (4, 8, 16, 32)
+    window_size: int = 12
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    patch_norm: bool = True
+    out_indices: Tuple[int, ...] = (0, 1, 2, 3)
+    # drop path applies only in training; eval parity needs none.
+    drop_path_rate: float = 0.3
+
+    @property
+    def num_features(self) -> Tuple[int, ...]:
+        return tuple(int(self.embed_dim * 2 ** i) for i in range(len(self.depths)))
+
+
+def swin_b() -> SwinConfig:
+    return SwinConfig()
+
+
+def swin_l() -> SwinConfig:
+    # build_swin_l (swin_trans.py:700-719)
+    return SwinConfig(embed_dim=192, num_heads=(6, 12, 24, 48))
+
+
+@dataclasses.dataclass(frozen=True)
+class ProjectorConfig:
+    """mm_projector config. PSALM default is the ``swin_conv`` ResNetSwin conv
+    stack (multimodal_projector/builder.py:326-375,421-424): one stride-2
+    BasicBlock 1024->2048 followed by a linear 2048->hidden_size.
+    """
+
+    projector_type: str = "swin_conv"
+    input_dim: int = 1024  # res5 channels of Swin-B
+    out_dim: int = 2048  # LLM hidden size
+
+
+@dataclasses.dataclass(frozen=True)
+class PixelDecoderConfig:
+    """MSDeformAttn-FPN pixel decoder (msdeformattn.py:166-315).
+
+    The deformable encoder runs over res3/res4/res5 with FFN dim 1024
+    (hard-coded at llava_phi.py:516), then FPN-fuses up to res2 stride 4.
+    """
+
+    conv_dim: int = 256
+    mask_dim: int = 256
+    transformer_enc_layers: int = 6
+    transformer_nheads: int = 8
+    transformer_dim_feedforward: int = 1024
+    num_feature_levels: int = 3  # res3, res4, res5
+    enc_points: int = 4
+    common_stride: int = 4
+    # input channels of (res2, res3, res4, res5) — Swin-B
+    in_channels: Tuple[int, ...] = (128, 256, 512, 1024)
+
+
+@dataclasses.dataclass(frozen=True)
+class MaskDecoderConfig:
+    """Mask2Former-style transformer decoder config
+    (maskformer2_R50_bs16_50ep.yaml + predictor_init at llava_phi.py:453-481).
+
+    dec_layers here is the actual number of decoder layers = YAML DEC_LAYERS -
+    1 = 9 (llava_phi.py:459). seg_concat=False: PSALM runs the woconcat path
+    (llava_phi.py:466 -> mask2former_transformer_decoder.py:596).
+    """
+
+    hidden_dim: int = 256
+    num_queries: int = 100
+    nheads: int = 8
+    dim_feedforward: int = 2048
+    dec_layers: int = 9
+    pre_norm: bool = False
+    mask_dim: int = 256
+    num_feature_levels: int = 3
+    seg_norm: bool = False
+    seg_concat: bool = False
+    seg_proj: bool = True
+    seg_fuse_score: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    """Criterion hyperparameters (maskformer2_R50_bs16_50ep.yaml +
+    PSALM_criterion at pretrain_criterion.py:128-141)."""
+
+    class_weight: float = 2.0
+    mask_weight: float = 5.0
+    dice_weight: float = 5.0
+    no_object_weight: float = 0.1
+    train_num_points: int = 12544
+    oversample_ratio: float = 3.0
+    importance_sample_ratio: float = 0.75
+    deep_supervision: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class PSALMConfig:
+    """Top-level model config."""
+
+    phi: PhiConfig = dataclasses.field(default_factory=PhiConfig)
+    swin: SwinConfig = dataclasses.field(default_factory=SwinConfig)
+    projector: ProjectorConfig = dataclasses.field(default_factory=ProjectorConfig)
+    pixel_decoder: PixelDecoderConfig = dataclasses.field(default_factory=PixelDecoderConfig)
+    mask_decoder: MaskDecoderConfig = dataclasses.field(default_factory=MaskDecoderConfig)
+    loss: LossConfig = dataclasses.field(default_factory=LossConfig)
+    seg_task: SegTask = SegTask.PANOPTIC
+    num_classes: int = 80  # SEM_SEG_HEAD.NUM_CLASSES
+    image_size: int = 1024
+    size_divisibility: int = 32
+    # compute dtype for the hot path; params stay f32. Thresholded
+    # quantities (decoder attn masks) are computed in f32 islands.
+    compute_dtype: str = "bfloat16"
+
+    def replace(self, **kw) -> "PSALMConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def tiny_test_config() -> PSALMConfig:
+    """A miniature config for unit tests: same topology, tiny dims."""
+    return PSALMConfig(
+        phi=PhiConfig(vocab_size=512, hidden_size=64, intermediate_size=128,
+                      num_layers=2, num_heads=4, max_position_embeddings=512),
+        swin=SwinConfig(embed_dim=16, depths=(1, 1, 2, 1), num_heads=(1, 2, 4, 8),
+                        window_size=4),
+        projector=ProjectorConfig(input_dim=128, out_dim=64),
+        pixel_decoder=PixelDecoderConfig(conv_dim=32, mask_dim=32,
+                                         transformer_enc_layers=2,
+                                         transformer_nheads=4,
+                                         transformer_dim_feedforward=64,
+                                         in_channels=(16, 32, 64, 128)),
+        mask_decoder=MaskDecoderConfig(hidden_dim=32, num_queries=10, nheads=4,
+                                       dim_feedforward=64, dec_layers=3,
+                                       mask_dim=32),
+        loss=LossConfig(train_num_points=16),
+        num_classes=5,
+        image_size=64,
+        compute_dtype="float32",
+    )

@@ -1,0 +1,201 @@
+"""Phi-1.5 decoder in flax.linen.
+
+Behavioral spec: HF transformers 4.36.2 PhiModel/PhiForCausalLM with the
+susnato/phi-1_5_dev checkpoint config (hidden 2048, 24 layers, 32 heads,
+partial rotary factor 0.5, gelu_new MLP) — the LLM PSALM builds on
+(llava_phi.py:33, SURVEY.md §2.10). Architecture facts reproduced:
+
+  * parallel residual: one input LayerNorm feeds both attention and MLP, and
+    the layer output is attn_out + mlp_out + residual;
+  * rotary embedding over the first rotary_dim=32 channels of each 64-d head
+    (interleaved-half convention, rope_theta 10000);
+  * q/k/v/dense projections all carry biases; final LayerNorm before lm_head.
+
+PSALM replaces the HF lm_head with a bias-free Linear (llava_phi.py:156).
+
+Supports full-sequence forward (all eval_seg needs — the reference runs a
+single non-autoregressive pass, llava_phi.py:1354) and KV-cache incremental
+decoding for the chat/serve path.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from psalm_tpu.config import PhiConfig
+
+
+def _rotary_tables(positions: jnp.ndarray, rotary_dim: int, theta: float):
+    """cos/sin tables [*, rotary_dim] for given positions [*,]."""
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, rotary_dim, 2, dtype=jnp.float32) / rotary_dim))
+    freqs = positions[..., None].astype(jnp.float32) * inv_freq  # [*, rd/2]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def _rotate_half(x: jnp.ndarray) -> jnp.ndarray:
+    half = x.shape[-1] // 2
+    return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+
+
+def apply_partial_rotary(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray,
+                         rotary_dim: int) -> jnp.ndarray:
+    """x: [B, L, h, hd]; cos/sin: [B or 1, L, rotary_dim]."""
+    x_rot, x_pass = x[..., :rotary_dim], x[..., rotary_dim:]
+    cos = cos[:, :, None, :].astype(x.dtype)
+    sin = sin[:, :, None, :].astype(x.dtype)
+    x_rot = x_rot * cos + _rotate_half(x_rot) * sin
+    return jnp.concatenate([x_rot, x_pass], axis=-1)
+
+
+class PhiAttention(nn.Module):
+    cfg: PhiConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, attn_bias, positions, cache=None):
+        """x: [B, L, D]; attn_bias: [B, 1, L, S] additive f32; positions [B, L].
+
+        cache: optional dict(k=[B, S, h, hd], v=..., index=int) for decode.
+        Returns (out, new_cache).
+        """
+        c = self.cfg
+        B, L, D = x.shape
+        h, hd = c.num_heads, c.head_dim
+        q = nn.Dense(D, dtype=self.dtype, name="q_proj")(x).reshape(B, L, h, hd)
+        k = nn.Dense(D, dtype=self.dtype, name="k_proj")(x).reshape(B, L, h, hd)
+        v = nn.Dense(D, dtype=self.dtype, name="v_proj")(x).reshape(B, L, h, hd)
+
+        cos, sin = _rotary_tables(positions, c.rotary_dim, c.rope_theta)
+        q = apply_partial_rotary(q, cos, sin, c.rotary_dim)
+        k = apply_partial_rotary(k, cos, sin, c.rotary_dim)
+
+        new_cache = None
+        if cache is not None:
+            idx = cache["index"]
+            ck = jax.lax.dynamic_update_slice(cache["k"], k.astype(cache["k"].dtype),
+                                              (0, idx, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cache["v"], v.astype(cache["v"].dtype),
+                                              (0, idx, 0, 0))
+            k, v = ck, cv
+            new_cache = dict(k=ck, v=cv, index=idx + L)
+
+        # f32 attention logits (Phi trains attention in fp32 autocast).
+        attn = jnp.einsum("blhd,bshd->bhls", q.astype(jnp.float32),
+                          k.astype(jnp.float32)) / jnp.sqrt(hd).astype(jnp.float32)
+        attn = attn + attn_bias
+        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhls,bshd->blhd", attn, v.astype(self.dtype))
+        out = out.reshape(B, L, D)
+        return nn.Dense(D, dtype=self.dtype, name="dense")(out), new_cache
+
+
+class PhiDecoderLayer(nn.Module):
+    cfg: PhiConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, attn_bias, positions, cache=None):
+        c = self.cfg
+        residual = x
+        hs = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=jnp.float32,
+                          name="input_layernorm")(x)
+        attn_out, new_cache = PhiAttention(c, dtype=self.dtype,
+                                           name="self_attn")(hs, attn_bias,
+                                                             positions, cache)
+        mlp = nn.Dense(c.intermediate_size, dtype=self.dtype, name="fc1")(hs)
+        mlp = jax.nn.gelu(mlp, approximate=True)  # gelu_new
+        mlp = nn.Dense(c.hidden_size, dtype=self.dtype, name="fc2")(mlp)
+        return residual + attn_out + mlp, new_cache
+
+
+class PhiModel(nn.Module):
+    """Embedding + decoder stack + final LayerNorm. Accepts input embeddings
+    directly (the multimodal path always splices embeddings)."""
+
+    cfg: PhiConfig
+    dtype: Any = jnp.float32
+    remat: bool = False
+
+    def setup(self):
+        self.embed_tokens = nn.Embed(self.cfg.vocab_size, self.cfg.hidden_size,
+                                     dtype=self.dtype)
+        layer_cls = PhiDecoderLayer
+        if self.remat:
+            layer_cls = nn.remat(PhiDecoderLayer, static_argnums=())
+        self.layers = [layer_cls(self.cfg, dtype=self.dtype, name=f"layers_{i}")
+                       for i in range(self.cfg.num_layers)]
+        self.final_layernorm = nn.LayerNorm(epsilon=self.cfg.layer_norm_eps,
+                                            dtype=jnp.float32)
+
+    def embed(self, input_ids: jnp.ndarray) -> jnp.ndarray:
+        return self.embed_tokens(input_ids)
+
+    def __call__(self, inputs_embeds: jnp.ndarray,
+                 attention_mask: Optional[jnp.ndarray] = None,
+                 positions: Optional[jnp.ndarray] = None,
+                 caches=None):
+        """inputs_embeds: [B, L, D]; attention_mask: [B, L] 1=valid.
+
+        Returns (last_hidden_state, new_caches).
+        """
+        B, L, D = inputs_embeds.shape
+        if positions is None:
+            positions = jnp.broadcast_to(jnp.arange(L), (B, L))
+        if caches is None:
+            S = L
+            kv_positions = positions
+            causal = positions[:, :, None] >= jnp.arange(L)[None, None, :]
+            bias = jnp.where(causal, 0.0, -1e9).astype(jnp.float32)[:, None]
+            if attention_mask is not None:
+                pad = jnp.where(attention_mask[:, None, None, :].astype(bool), 0.0, -1e9)
+                bias = bias + pad.astype(jnp.float32)
+        else:
+            # decode: keys live in the cache of static length S.
+            S = caches[0]["k"].shape[1]
+            kpos = jnp.arange(S)[None, None, :]
+            causal = positions[:, :, None] >= kpos
+            written = kpos < (caches[0]["index"] + L)
+            bias = jnp.where(causal & written, 0.0, -1e9).astype(jnp.float32)[:, None]
+
+        x = inputs_embeds
+        new_caches = []
+        for i, layer in enumerate(self.layers):
+            cache_i = caches[i] if caches is not None else None
+            x, nc = layer(x, bias, positions, cache_i)
+            new_caches.append(nc)
+        x = self.final_layernorm(x)
+        return x, (new_caches if caches is not None else None)
+
+    def init_cache(self, batch: int, max_len: int, dtype=jnp.bfloat16):
+        c = self.cfg
+        return [dict(k=jnp.zeros((batch, max_len, c.num_heads, c.head_dim), dtype),
+                     v=jnp.zeros((batch, max_len, c.num_heads, c.head_dim), dtype),
+                     index=jnp.asarray(0, jnp.int32))
+                for _ in range(c.num_layers)]
+
+
+class PhiForCausalLM(nn.Module):
+    cfg: PhiConfig
+    dtype: Any = jnp.float32
+    remat: bool = False
+
+    def setup(self):
+        self.model = PhiModel(self.cfg, dtype=self.dtype, remat=self.remat)
+        self.lm_head = nn.Dense(self.cfg.vocab_size, use_bias=self.cfg.lm_head_bias,
+                                dtype=self.dtype)
+
+    def __call__(self, inputs_embeds=None, attention_mask=None, positions=None,
+                 caches=None, input_ids=None):
+        if inputs_embeds is None:
+            inputs_embeds = self.model.embed(input_ids)
+        hidden, new_caches = self.model(inputs_embeds, attention_mask, positions,
+                                        caches)
+        return self.lm_head(hidden), hidden, new_caches
+
+    def embed(self, input_ids):
+        return self.model.embed(input_ids)

@@ -1,0 +1,128 @@
+"""Multi-scale deformable attention sampling — TPU-native.
+
+Implements the math of the reference's single CUDA op (PSALM's only native
+kernel: ms_deform_im2col_cuda.cuh:242-305, with the executable PyTorch spec at
+ops/functions/ms_deform_attn_func.py:53-81): for every (query, head, level,
+point), bilinearly interpolate the level's value map at a predicted sampling
+location, scale by an attention weight, and accumulate over levels × points.
+
+Two interchangeable implementations:
+  * ``ms_deform_attn_xla`` — pure-XLA gathers + lerp. Serves as the reference
+    oracle (the analog of the reference's ms_deform_attn_core_pytorch
+    fallback) and is differentiable by construction.
+  * ``ms_deform_attn`` — dispatcher; currently XLA, later Pallas for the
+    forward with a custom VJP.
+
+Conventions (identical to the reference):
+  value              [B, S, M, D]    S = sum_l H_l*W_l, M heads, D head dim
+  spatial_shapes     static tuple of (H_l, W_l)
+  sampling_locations [B, Q, M, L, P, 2]  (x, y) in [0, 1]
+  attention_weights  [B, Q, M, L, P]  softmaxed over L*P
+  output             [B, Q, M*D]
+
+Bilinear sampling matches torch.nn.functional.grid_sample with
+mode='bilinear', padding_mode='zeros', align_corners=False applied to the
+grid 2*loc-1, i.e. pixel coords x = loc_x*W - 0.5, y = loc_y*H - 0.5 and
+out-of-bounds corners contribute zero.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _bilinear_gather_level(
+    value_l: jnp.ndarray,  # [BM, H*W, D]
+    x: jnp.ndarray,  # [BM, N] pixel x in continuous coords
+    y: jnp.ndarray,  # [BM, N]
+    H: int,
+    W: int,
+) -> jnp.ndarray:
+    """Bilinear sample with zero padding; returns [BM, N, D]."""
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx1 = x - x0
+    wy1 = y - y0
+    wx0 = 1.0 - wx1
+    wy0 = 1.0 - wy1
+
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    x1i = x0i + 1
+    y1i = y0i + 1
+
+    def corner(yi, xi, wy, wx):
+        valid = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
+        idx = jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1)
+        gathered = jax.vmap(lambda v, i: jnp.take(v, i, axis=0))(value_l, idx)
+        w = (wy * wx) * valid.astype(value_l.dtype)
+        return gathered * w[..., None]
+
+    out = corner(y0i, x0i, wy0, wx0)
+    out = out + corner(y0i, x1i, wy0, wx1)
+    out = out + corner(y1i, x0i, wy1, wx0)
+    out = out + corner(y1i, x1i, wy1, wx1)
+    return out
+
+
+def ms_deform_attn_xla(
+    value: jnp.ndarray,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+) -> jnp.ndarray:
+    """Pure-XLA multi-scale deformable attention. See module docstring."""
+    B, S, M, D = value.shape
+    _, Q, _, L, P, _ = sampling_locations.shape
+    assert L == len(spatial_shapes)
+    assert S == sum(h * w for h, w in spatial_shapes)
+
+    # [B, S, M, D] -> [B*M, S, D]
+    value_bm = jnp.transpose(value, (0, 2, 1, 3)).reshape(B * M, S, D)
+    # [B, Q, M, L, P, 2] -> [B*M, Q, L, P, 2]
+    loc = jnp.transpose(sampling_locations, (0, 2, 1, 3, 4, 5)).reshape(B * M, Q, L, P, 2)
+    # [B, Q, M, L, P] -> [B*M, Q, L, P]
+    attn = jnp.transpose(attention_weights, (0, 2, 1, 3, 4)).reshape(B * M, Q, L, P)
+
+    out = jnp.zeros((B * M, Q, D), dtype=value.dtype)
+    start = 0
+    for lid, (H, W) in enumerate(spatial_shapes):
+        value_l = jax.lax.dynamic_slice_in_dim(value_bm, start, H * W, axis=1)
+        start += H * W
+        x = loc[:, :, lid, :, 0].reshape(B * M, Q * P) * W - 0.5
+        y = loc[:, :, lid, :, 1].reshape(B * M, Q * P) * H - 0.5
+        sampled = _bilinear_gather_level(value_l, x, y, H, W)  # [BM, Q*P, D]
+        sampled = sampled.reshape(B * M, Q, P, D)
+        out = out + jnp.einsum("bqpd,bqp->bqd", sampled, attn[:, :, lid, :])
+
+    out = out.reshape(B, M, Q, D)
+    return jnp.transpose(out, (0, 2, 1, 3)).reshape(B, Q, M * D)
+
+
+# Dispatcher: the Pallas kernel (ops/msdeform_pallas.py) registers itself here
+# once it exists; until then the XLA path is both implementation and oracle,
+# mirroring how the reference keeps ms_deform_attn_core_pytorch as its
+# fallback (ops/modules/ms_deform_attn.py:113-121).
+_IMPL = {"xla": ms_deform_attn_xla}
+_DEFAULT_IMPL = "xla"
+
+
+def register_impl(name: str, fn) -> None:
+    _IMPL[name] = fn
+
+
+def set_default_impl(name: str) -> None:
+    global _DEFAULT_IMPL
+    assert name in _IMPL, f"unknown ms_deform_attn impl {name}"
+    _DEFAULT_IMPL = name
+
+
+def ms_deform_attn(value, spatial_shapes, sampling_locations, attention_weights,
+                   impl: str | None = None):
+    fn = _IMPL[impl or _DEFAULT_IMPL]
+    return fn(value, tuple(tuple(s) for s in spatial_shapes),
+              sampling_locations, attention_weights)

@@ -1,0 +1,122 @@
+"""Parity test: flax Phi vs HF transformers PhiModel (the reference's LLM,
+llava_phi.py:33) on a tiny random-initialized config."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+import torch
+
+from psalm_tpu.config import PhiConfig
+from psalm_tpu.models.phi import PhiForCausalLM
+
+
+def tiny_cfg():
+    return PhiConfig(vocab_size=128, hidden_size=32, intermediate_size=64,
+                     num_layers=2, num_heads=4, max_position_embeddings=64)
+
+
+def hf_phi(cfg: PhiConfig):
+    from transformers import PhiConfig as HFPhiConfig, PhiModel
+    hf_cfg = HFPhiConfig(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.hidden_size,
+        intermediate_size=cfg.intermediate_size,
+        num_hidden_layers=cfg.num_layers, num_attention_heads=cfg.num_heads,
+        max_position_embeddings=cfg.max_position_embeddings,
+        partial_rotary_factor=cfg.partial_rotary_factor,
+        rope_theta=cfg.rope_theta, layer_norm_eps=cfg.layer_norm_eps,
+        hidden_act="gelu_new", attention_dropout=0.0, embd_pdrop=0.0,
+        resid_pdrop=0.0, qk_layernorm=False,
+    )
+    torch.manual_seed(0)
+    model = PhiModel(hf_cfg)
+    model.eval()
+    return model
+
+
+def hf_to_flax_params(hf, cfg: PhiConfig):
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+
+    def dense(prefix):
+        return {"kernel": sd[prefix + ".weight"].T, "bias": sd[prefix + ".bias"]}
+
+    def ln(prefix):
+        return {"scale": sd[prefix + ".weight"], "bias": sd[prefix + ".bias"]}
+
+    layers = {}
+    for i in range(cfg.num_layers):
+        p = f"layers.{i}"
+        layers[f"layers_{i}"] = {
+            "input_layernorm": ln(f"{p}.input_layernorm"),
+            "self_attn": {
+                "q_proj": dense(f"{p}.self_attn.q_proj"),
+                "k_proj": dense(f"{p}.self_attn.k_proj"),
+                "v_proj": dense(f"{p}.self_attn.v_proj"),
+                "dense": dense(f"{p}.self_attn.dense"),
+            },
+            "fc1": dense(f"{p}.mlp.fc1"),
+            "fc2": dense(f"{p}.mlp.fc2"),
+        }
+    model_params = {
+        "embed_tokens": {"embedding": sd["embed_tokens.weight"]},
+        "final_layernorm": ln("final_layernorm"),
+        **layers,
+    }
+    return model_params
+
+
+def test_phi_matches_hf():
+    cfg = tiny_cfg()
+    hf = hf_phi(cfg)
+
+    B, L = 2, 10
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, cfg.vocab_size, size=(B, L))
+    mask = np.ones((B, L), dtype=np.int64)
+    mask[1, 7:] = 0  # right padding
+
+    with torch.no_grad():
+        want = hf(input_ids=torch.from_numpy(ids),
+                  attention_mask=torch.from_numpy(mask)).last_hidden_state.numpy()
+
+    flax_model = PhiForCausalLM(cfg)
+    params = {"model": hf_to_flax_params(hf, cfg)}
+    # init lm_head to get full tree, then overwrite model params
+    full = flax_model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 4, cfg.hidden_size)))["params"]
+    full = {**full, "model": jax.tree.map(jnp.asarray, params["model"])}
+
+    embeds = flax_model.apply({"params": full}, jnp.asarray(ids),
+                              method=lambda m, i: m.model.embed(i))
+    logits, hidden, _ = flax_model.apply({"params": full}, embeds,
+                                         attention_mask=jnp.asarray(mask))
+    got = np.asarray(hidden)
+    # compare only non-padded positions
+    np.testing.assert_allclose(got[0], want[0], rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(got[1, :7], want[1, :7], rtol=2e-4, atol=2e-4)
+
+
+def test_phi_kv_cache_decode_matches_full():
+    cfg = tiny_cfg()
+    model = PhiForCausalLM(cfg)
+    B, L = 1, 6
+    key = jax.random.PRNGKey(1)
+    embeds = jax.random.normal(key, (B, L, cfg.hidden_size))
+    params = model.init(jax.random.PRNGKey(2), embeds)["params"]
+
+    logits_full, _, _ = model.apply({"params": params}, embeds)
+
+    # prefill 4, decode 2
+    caches = model.apply({"params": params}, B, L,
+                         method=lambda m, b, s: m.model.init_cache(b, s, jnp.float32))
+    def step(embs, pos, caches):
+        return model.apply({"params": params}, embs, positions=pos, caches=caches)
+
+    lg1, _, caches = step(embeds[:, :4], jnp.arange(4)[None], caches)
+    outs = [lg1]
+    for t in range(4, L):
+        lg, _, caches = step(embeds[:, t:t + 1], jnp.full((1, 1), t), caches)
+        outs.append(lg)
+    logits_inc = jnp.concatenate(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(logits_inc), np.asarray(logits_full),
+                               rtol=2e-4, atol=2e-4)
