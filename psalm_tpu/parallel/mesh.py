@@ -1,0 +1,98 @@
+"""Device mesh + sharding rules.
+
+Replaces the reference's DeepSpeed-ZeRO-2-over-NCCL stack (scripts/zero2.json,
+vendored deepspeed/launcher/) with jax.sharding: a ('data', 'model') mesh,
+batch sharded over 'data', optimizer state sharded over 'data' (the ZeRO
+analog), and optional tensor parallelism of the Phi layers over 'model'.
+Multi-host rendezvous is jax.distributed.initialize (replacing
+PDSH/MPI/Slurm runners at deepspeed/launcher/multinode_runner.py).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Optional
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(data: int = -1, model: int = 1,
+              devices=None) -> Mesh:
+    """Build a ('data', 'model') mesh. data=-1 uses all remaining devices."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    n = devices.size
+    if data == -1:
+        assert n % model == 0
+        data = n // model
+    assert data * model == n, (data, model, n)
+    return Mesh(devices.reshape(data, model), ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+# ---------------------------------------------------------------------------
+# Parameter partitioning rules (tensor parallel over 'model').
+#
+# Phi layers: q/k/v and fc1 kernels column-sharded (head/ffn dim), dense and
+# fc2 row-sharded; embeddings sharded on vocab. Everything else replicated.
+# These are regex rules over the flattened param path.
+
+_TP_RULES = [
+    (r"phi/.*/(q_proj|k_proj|v_proj|fc1)/kernel$", P(None, "model")),
+    (r"phi/.*/(q_proj|k_proj|v_proj|fc1)/bias$", P("model")),
+    (r"phi/.*/(dense|fc2)/kernel$", P("model", None)),
+    (r"phi/model/embed_tokens/embedding$", P(None, None)),
+    (r"phi/lm_head/kernel$", P(None, "model")),
+]
+
+
+def param_spec(path: str) -> P:
+    for pattern, spec in _TP_RULES:
+        if re.search(pattern, path):
+            return spec
+    return P()
+
+
+def param_shardings(mesh: Mesh, params) -> Any:
+    """NamedSharding pytree for a params pytree (TP rules over 'model')."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def path_str(kp):
+        return "/".join(getattr(k, "key", str(k)) for k in kp)
+
+    specs = {path_str(kp): param_spec(path_str(kp)) for kp, _ in flat}
+
+    def to_sharding(kp, _):
+        return NamedSharding(mesh, specs[path_str(kp)])
+
+    return jax.tree_util.tree_map_with_path(to_sharding, params)
+
+
+def opt_state_shardings(mesh: Mesh, opt_state, params_sharding):
+    """ZeRO-style: shard optimizer moments like their parameters; scalars
+    replicated."""
+    flat_param_shardings = {}
+
+    def collect(kp, sh):
+        flat_param_shardings["/".join(getattr(k, "key", str(k)) for k in kp)] = sh
+        return sh
+
+    jax.tree_util.tree_map_with_path(collect, params_sharding)
+
+    def map_leaf(kp, leaf):
+        key = "/".join(getattr(k, "key", str(k)) for k in kp)
+        # optimizer state trees embed the param tree; match by suffix
+        for pk, sh in flat_param_shardings.items():
+            if key.endswith(pk):
+                return sh
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(map_leaf, opt_state)

@@ -1,0 +1,304 @@
+"""PSALM training criterion — Hungarian-matched set losses, TPU-native.
+
+Behavioral spec: PSALM_criterion + hungarian_matcher_PSALM
+(pretrain_criterion.py:128-458) and the jit-scripted batch cost kernels
+(Mask2Former_Simplify/utils/matcher.py:16-99):
+
+  * matcher cost = 2*(-softmax class prob) + 5*point-sampled sigmoid-CE +
+    5*point-sampled dice over a shared uniform random point set per image
+    (pretrain_criterion.py:422), assignment via scipy linear_sum_assignment
+    on host (:451-453) — reproduced with jax.pure_callback (bounded host
+    round-trip, exactly the reference's own device->CPU hop);
+  * mask losses: 12544-point uncertainty sampling (oversample 3.0,
+    importance 0.75) then sigmoid-CE mean + dice (:234-282);
+  * [SEG] loss: BCE-with-pos-weight over query-selection targets (:167-186);
+  * class-name loss: weighted CE, background (last) class weight 0.1
+    (:211-232);
+  * region loss: BCE-with-pos-weight on the [R, Q] region-query matrix
+    (:145-164);
+  * num_masks averaged across data-parallel ranks (:326-328) -> jax.lax.psum
+    when inside pmap/shard_map (axis name 'data').
+
+Static shapes: targets are padded to N_max masks with a validity mask;
+invalid rows get +inf cost so the assignment never picks them, and their
+losses are masked out.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from scipy.optimize import linear_sum_assignment
+
+from psalm_tpu.config import LossConfig
+from psalm_tpu.ops.sampling import point_sample
+
+
+# ---------------------------------------------------------------------------
+# batched cost kernels (matcher.py:16-66) — [Q, P] x [N, P] -> [Q, N]
+
+
+def batch_sigmoid_ce_cost(inputs: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    P = inputs.shape[-1]
+    pos = jax.nn.softplus(-inputs)        # BCE(x, 1)
+    neg = jax.nn.softplus(inputs)         # BCE(x, 0) = x + softplus(-x) - x
+    return (pos @ targets.T + neg @ (1.0 - targets).T) / P
+
+
+def batch_dice_cost(inputs: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    probs = jax.nn.sigmoid(inputs)
+    numerator = 2.0 * (probs @ targets.T)
+    denominator = probs.sum(-1)[:, None] + targets.sum(-1)[None, :]
+    return 1.0 - (numerator + 1.0) / (denominator + 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Hungarian assignment via host callback
+
+
+def _lsa_host(cost: np.ndarray, n_valid: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """cost: [B, Q, N]; n_valid: [B]. Returns src (query) and tgt indices
+    [B, N] padded with -1 beyond n_valid."""
+    B, Q, N = cost.shape
+    src = np.full((B, N), -1, np.int32)
+    tgt = np.full((B, N), -1, np.int32)
+    for b in range(B):
+        n = int(n_valid[b])
+        if n == 0:
+            continue
+        c = np.nan_to_num(np.asarray(cost[b, :, :n], np.float64),
+                          nan=1e8, posinf=1e8, neginf=-1e8)
+        rows, cols = linear_sum_assignment(c)
+        src[b, :n] = rows[np.argsort(cols)]
+        tgt[b, :n] = np.arange(n)
+    return src, tgt
+
+
+def hungarian_assign(cost: jnp.ndarray, n_valid: jnp.ndarray):
+    """Static-shape assignment. Returns (src_idx [B, N], valid [B, N]):
+    target j (for j < n_valid) is matched to query src_idx[b, j]."""
+    cost = jax.lax.stop_gradient(cost)
+    B, Q, N = cost.shape
+    out_shape = (jax.ShapeDtypeStruct((B, N), jnp.int32),
+                 jax.ShapeDtypeStruct((B, N), jnp.int32))
+    src, tgt = jax.pure_callback(_lsa_host, out_shape, cost, n_valid,
+                                 vmap_method="sequential")
+    valid = src >= 0
+    return jnp.where(valid, src, 0), valid
+
+
+# ---------------------------------------------------------------------------
+# uncertainty point sampling (point_rend get_uncertain_point_coords_with_
+# randomness, used at pretrain_criterion.py:252-261)
+
+
+def uncertain_point_coords(rng: jax.Array, logits_fn, num_points: int,
+                           oversample_ratio: float,
+                           importance_sample_ratio: float,
+                           batch: int) -> jnp.ndarray:
+    """Returns [batch, num_points, 2] coords in [0,1].
+
+    logits_fn(coords [batch, S, 2]) -> [batch, S] mask logits at the coords.
+    Uncertainty = -|logit| (calculate_uncertainty,
+    pretrain_criterion.py:111-125).
+    """
+    n_sampled = int(num_points * oversample_ratio)
+    k1, k2 = jax.random.split(rng)
+    coords = jax.random.uniform(k1, (batch, n_sampled, 2))
+    logits = logits_fn(coords)
+    uncertainty = -jnp.abs(logits)
+    n_unc = int(importance_sample_ratio * num_points)
+    n_rand = num_points - n_unc
+    _, idx = jax.lax.top_k(uncertainty, n_unc)
+    top_coords = jnp.take_along_axis(coords, idx[..., None], axis=1)
+    rand_coords = jax.random.uniform(k2, (batch, n_rand, 2))
+    return jnp.concatenate([top_coords, rand_coords], axis=1)
+
+
+def _sample_mask_at(masks: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    """masks: [B, H, W]; coords: [B, P, 2] -> [B, P]."""
+    return point_sample(masks[..., None], coords, align_corners=False)[..., 0]
+
+
+# ---------------------------------------------------------------------------
+# criterion
+
+
+class PSALMCriterion:
+    """Functional criterion. Call with one layer's outputs + targets."""
+
+    def __init__(self, cfg: LossConfig, num_queries: int,
+                 dp_axis: Optional[str] = None):
+        self.cfg = cfg
+        self.num_queries = num_queries
+        self.dp_axis = dp_axis
+
+    # -- matching ----------------------------------------------------------
+
+    def match(self, rng, outputs, targets) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Compute assignment for one prediction layer.
+
+        outputs: dict(pred_masks [B,Q,h,w], pred_class_name_logits
+        [B,Q,K] or None); targets: dict(masks [B,N,H,W] float {0,1},
+        labels [B,N] int, valid [B,N] bool).
+        """
+        c = self.cfg
+        pred_masks = outputs["pred_masks"].astype(jnp.float32)
+        B, Q = pred_masks.shape[:2]
+        N = targets["masks"].shape[1]
+
+        # shared uniform point set per image (pretrain_criterion.py:422)
+        coords = jax.random.uniform(rng, (B, c.train_num_points, 2))
+
+        out_pts = jax.vmap(
+            lambda m, xy: _sample_mask_at(m, jnp.broadcast_to(xy[None], (Q, *xy.shape)))
+        )(pred_masks, coords)  # [B, Q, P]
+        tgt_pts = jax.vmap(
+            lambda m, xy: _sample_mask_at(m, jnp.broadcast_to(xy[None], (N, *xy.shape)))
+        )(targets["masks"].astype(jnp.float32), coords)  # [B, N, P]
+
+        cost_mask = jax.vmap(batch_sigmoid_ce_cost)(out_pts, tgt_pts)
+        cost_dice = jax.vmap(batch_dice_cost)(out_pts, tgt_pts)
+
+        if outputs.get("pred_class_name_logits") is not None:
+            prob = jax.nn.softmax(
+                outputs["pred_class_name_logits"].astype(jnp.float32), -1)
+            labels = jnp.clip(targets["labels"], 0, prob.shape[-1] - 1)
+            cost_class = -jnp.take_along_axis(
+                prob, jnp.broadcast_to(labels[:, None, :], (B, Q, N)), axis=2)
+        else:
+            cost_class = 0.0
+
+        cost = (c.mask_weight * cost_mask + c.class_weight * cost_class
+                + c.dice_weight * cost_dice)
+        cost = jnp.where(targets["valid"][:, None, :], cost, 1e8)
+        n_valid = targets["valid"].sum(-1).astype(jnp.int32)
+        return hungarian_assign(cost, n_valid)
+
+    # -- per-loss terms ------------------------------------------------------
+
+    def loss_masks(self, rng, outputs, targets, src_idx, valid, num_masks):
+        c = self.cfg
+        pred = outputs["pred_masks"].astype(jnp.float32)
+        B, Q, h, w = pred.shape
+        N = src_idx.shape[1]
+        src_masks = jnp.take_along_axis(
+            pred, src_idx[..., None, None], axis=1)  # [B, N, h, w]
+        tgt_masks = targets["masks"].astype(jnp.float32)
+
+        sm = src_masks.reshape(B * N, h, w)
+        tm = tgt_masks.reshape(B * N, *tgt_masks.shape[2:])
+
+        coords = uncertain_point_coords(
+            rng, lambda xy: _sample_mask_at(sm, xy), c.train_num_points,
+            c.oversample_ratio, c.importance_sample_ratio, B * N)
+        coords = jax.lax.stop_gradient(coords)
+        point_logits = _sample_mask_at(sm, coords)  # [BN, P]
+        point_labels = jax.lax.stop_gradient(_sample_mask_at(tm, coords))
+
+        v = valid.reshape(B * N).astype(jnp.float32)
+        ce = jax.nn.softplus(point_logits) - point_logits * point_labels
+        loss_mask = jnp.sum(ce.mean(-1) * v) / num_masks
+
+        probs = jax.nn.sigmoid(point_logits)
+        numerator = 2.0 * jnp.sum(probs * point_labels, -1)
+        denominator = probs.sum(-1) + point_labels.sum(-1)
+        dice = 1.0 - (numerator + 1.0) / (denominator + 1.0)
+        loss_dice = jnp.sum(dice * v) / num_masks
+        return loss_mask, loss_dice
+
+    def loss_seg_labels(self, outputs, src_idx, valid, num_masks):
+        logits = outputs["pred_SEG_logits"]
+        if logits is None:
+            return None
+        logits = logits.astype(jnp.float32)[..., 0]  # [B, Q]
+        B, Q = logits.shape
+        tgt = jnp.zeros((B, Q), jnp.float32)
+        tgt = jax.vmap(lambda t, s, v: t.at[s].max(v.astype(jnp.float32)))(
+            tgt, src_idx, valid)
+        num_sample = B * Q
+        pos_weight = (num_sample - num_masks) / num_masks
+        # BCEWithLogits(pos_weight): l = pw*y*softplus(-x) + (1-y)*softplus(x)
+        loss = pos_weight * tgt * jax.nn.softplus(-logits) + (1 - tgt) * jax.nn.softplus(logits)
+        return loss.mean()
+
+    def loss_class_name_labels(self, outputs, targets, src_idx, valid):
+        logits = outputs.get("pred_class_name_logits")
+        if logits is None:
+            return None
+        logits = logits.astype(jnp.float32)
+        B, Q, K = logits.shape
+        # scatter matched labels; default = background (K-1)
+        tgt_classes = jnp.full((B, Q), K - 1, jnp.int32)
+        matched_labels = jnp.where(valid, targets["labels"], K - 1)
+        tgt_classes = jax.vmap(lambda t, s, l: t.at[s].set(l))(
+            tgt_classes, src_idx, matched_labels)
+        weights = jnp.ones((K,)).at[K - 1].set(0.1)
+        logp = jax.nn.log_softmax(logits, -1)
+        nll = -jnp.take_along_axis(logp, tgt_classes[..., None], -1)[..., 0]
+        w = weights[tgt_classes]
+        return jnp.sum(nll * w) / jnp.sum(w)
+
+    def loss_region_labels(self, outputs, src_idx, valid, num_masks):
+        logits = outputs.get("pred_region_logits")
+        if logits is None:
+            return None
+        logits = logits.astype(jnp.float32)  # [B, R, Q]
+        B, R, Q = logits.shape
+        # target[b, j, src_idx[b, j]] = 1 for valid matched pairs
+        # (region j corresponds to target j, pretrain_criterion.py:152-156)
+        tgt = jnp.zeros((B, R, Q), jnp.float32)
+        j_idx = jnp.arange(R)[None].repeat(B, 0)
+        updates = valid[:, :R].astype(jnp.float32)
+        tgt = jax.vmap(lambda t, s, u: t.at[jnp.arange(R), s[:R]].max(u))(
+            tgt, src_idx, updates)
+        num_sample = B * R * Q
+        pos_weight = (num_sample - num_masks) / num_masks
+        loss = pos_weight * tgt * jax.nn.softplus(-logits) + (1 - tgt) * jax.nn.softplus(logits)
+        return loss.mean()
+
+    # -- full forward --------------------------------------------------------
+
+    def __call__(self, rng: jax.Array, outputs: Dict, targets: Dict,
+                 compute_seg: bool = False, compute_class: bool = True,
+                 compute_region: bool = False) -> Dict[str, jnp.ndarray]:
+        """Returns the weighted component sums across final + aux layers,
+        mirroring the aggregation at llava_phi.py:1102-1126."""
+        c = self.cfg
+        num_masks = targets["valid"].sum().astype(jnp.float32)
+        if self.dp_axis is not None:
+            num_masks = jax.lax.pmean(num_masks, self.dp_axis)
+        num_masks = jnp.maximum(num_masks, 1.0)
+
+        layers = [outputs] + list(outputs.get("aux_outputs", []))
+        totals = {"loss_mask": 0.0, "loss_dice": 0.0, "loss_SEG_class": 0.0,
+                  "loss_class_name_class": 0.0, "loss_region_class": 0.0}
+        for li, layer_out in enumerate(layers):
+            rng, k_match, k_pts = jax.random.split(rng, 3)
+            src_idx, valid = self.match(k_match, layer_out, targets)
+            lm, ld = self.loss_masks(k_pts, layer_out, targets, src_idx, valid,
+                                     num_masks)
+            totals["loss_mask"] += c.mask_weight * lm
+            totals["loss_dice"] += c.dice_weight * ld
+            if compute_seg:
+                ls = self.loss_seg_labels(layer_out, src_idx, valid, num_masks)
+                if ls is not None:
+                    totals["loss_SEG_class"] += c.class_weight * ls
+            if compute_class:
+                lc = self.loss_class_name_labels(layer_out, targets, src_idx,
+                                                 valid)
+                if lc is not None:
+                    totals["loss_class_name_class"] += c.class_weight * lc
+            if compute_region:
+                lr = self.loss_region_labels(layer_out, src_idx, valid,
+                                             num_masks)
+                if lr is not None:
+                    totals["loss_region_class"] += c.class_weight * lr
+
+        totals = {k: jnp.asarray(v, jnp.float32) for k, v in totals.items()}
+        totals["loss_total"] = sum(totals.values())
+        return totals

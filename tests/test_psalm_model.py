@@ -1,0 +1,93 @@
+"""End-to-end forward test of the full PSALM spine on the tiny config, and a
+check that device-side conditioning extraction matches the reference
+semantics (segment means, ordered mask gathers)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from psalm_tpu.config import tiny_test_config
+from psalm_tpu.data.constants import (CLS_TOKEN_INDEX, IMAGE_TOKEN_INDEX,
+                                      REGION_TOKEN_INDEX, SEG_TOKEN_INDEX)
+from psalm_tpu.data.splicer import splice, stack_samples
+from psalm_tpu.models.psalm import PSALM, positions_of_mask, segment_mean
+
+
+def test_positions_of_mask_ordered():
+    mask = jnp.array([[0, 1, 0, 1, 1], [1, 1, 1, 0, 0]], jnp.float32)
+    pos = positions_of_mask(mask, 3)
+    np.testing.assert_array_equal(np.asarray(pos), [[1, 3, 4], [0, 1, 2]])
+
+
+def test_segment_mean_matches_loop():
+    rng = np.random.default_rng(0)
+    hidden = rng.standard_normal((2, 7, 4)).astype(np.float32)
+    seg = np.array([[0, 1, 1, 2, 0, 2, 0], [1, 0, 0, 0, 0, 0, 3]])
+    means, valid = segment_mean(jnp.asarray(hidden), jnp.asarray(seg), 3)
+    want01 = hidden[0, 1:3].mean(0)
+    np.testing.assert_allclose(np.asarray(means)[0, 0], want01, rtol=1e-6)
+    want02 = hidden[0, [3, 5]].mean(0)
+    np.testing.assert_allclose(np.asarray(means)[0, 1], want02, rtol=1e-6)
+    assert np.asarray(valid).tolist() == [[True, True, False],
+                                          [True, False, True]]
+
+
+def _panoptic_batch(cfg, B=2):
+    s = cfg.image_size
+    n_img = (s // 64) ** 2  # projector tokens: res5(s/32) stride2 -> s/64
+    nq = cfg.mask_decoder.num_queries
+    K = 3
+    ids = [7, IMAGE_TOKEN_INDEX, 8] + [CLS_TOKEN_INDEX] * K + [9, SEG_TOKEN_INDEX]
+    cls_ids = np.array([10, 11, 12, 13, 14])
+    cls_idx = np.array([0, 0, 1, 2, 2])
+    samples = [splice(ids, None, num_image_tokens=n_img, num_seg_queries=nq,
+                      pad_len=n_img + nq + 16, class_name_ids=cls_ids,
+                      cls_indices=cls_idx) for _ in range(B)]
+    batch = {k: jnp.asarray(v) for k, v in stack_samples(samples).items()}
+    batch["images"] = jax.random.normal(jax.random.PRNGKey(0), (B, s, s, 3))
+    return batch, K
+
+
+def test_psalm_forward_panoptic():
+    cfg = tiny_test_config()
+    batch, K = _panoptic_batch(cfg)
+    model = PSALM(cfg)
+    params = jax.jit(lambda r, b: model.init(r, b, use_class_names=True,
+                                             num_class_names=K))(
+        jax.random.PRNGKey(0), batch)
+    out = jax.jit(lambda p, b: model.apply(p, b, use_class_names=True,
+                                           num_class_names=K))(params, batch)
+    B, s = 2, cfg.image_size
+    nq = cfg.mask_decoder.num_queries
+    assert out["pred_masks"].shape == (B, nq, s // 4, s // 4)
+    assert out["pred_class_name_logits"].shape == (B, nq, K)
+    assert out["pred_SEG_logits"] is None
+    assert np.isfinite(np.asarray(out["pred_masks"])).all()
+    assert len(out["aux_outputs"]) == cfg.mask_decoder.dec_layers
+
+
+def test_psalm_forward_region():
+    cfg = tiny_test_config()
+    s = cfg.image_size
+    n_img = (s // 64) ** 2
+    nq = cfg.mask_decoder.num_queries
+    R = 2
+    ids = [7, IMAGE_TOKEN_INDEX] + [REGION_TOKEN_INDEX] * R + [SEG_TOKEN_INDEX]
+    samples = [splice(ids, None, num_image_tokens=n_img, num_seg_queries=nq,
+                      pad_len=n_img + nq + 8, num_regions=R)]
+    batch = {k: jnp.asarray(v) for k, v in stack_samples(samples).items()}
+    batch["images"] = jax.random.normal(jax.random.PRNGKey(0), (1, s, s, 3))
+    batch["region_points"] = jax.random.uniform(jax.random.PRNGKey(1),
+                                                (1, R, 16, 2))
+    batch["region_valid"] = jnp.ones((1, R), bool)
+
+    model = PSALM(cfg)
+    params = jax.jit(lambda r, b: model.init(r, b, use_class_names=False,
+                                             use_regions=True, max_regions=R))(
+        jax.random.PRNGKey(0), batch)
+    out = jax.jit(lambda p, b: model.apply(p, b, use_class_names=False,
+                                           use_regions=True, max_regions=R))(
+        params, batch)
+    assert out["pred_region_logits"].shape == (1, R, nq)
+    assert out["pred_class_name_logits"] is None
+    assert np.isfinite(np.asarray(out["pred_region_logits"])).all()
