@@ -163,6 +163,8 @@ class PanopticDataset(BaseTaskDataset):
 
         out = {**s.as_dict(), "images": proc.image,
                "padding_mask": proc.padding_mask,
+               "resized_hw": np.asarray(proc.resized_hw),
+               "original_hw": np.asarray(proc.original_hw),
                **self._pad_targets({"gt_classes": gt["gt_classes"],
                                     "gt_masks": gt["gt_masks"]}),
                "image_id": rec.get("image_id", idx),
@@ -212,6 +214,8 @@ class InstanceDataset(BaseTaskDataset):
                          cls_indices=cls_idx)
         return {**s.as_dict(), "images": proc.image,
                 "padding_mask": proc.padding_mask,
+                "resized_hw": np.asarray(proc.resized_hw),
+                "original_hw": np.asarray(proc.original_hw),
                 **self._pad_targets({"gt_classes": gt["gt_classes"],
                                      "gt_masks": gt["gt_masks"]}),
                 "image_id": rec["new_img_id"],
@@ -253,6 +257,8 @@ class InteractiveDataset(InstanceDataset):
         s = self._splice(input_ids, labels, num_regions=max(R, 1))
         return {**s.as_dict(), "images": proc.image,
                 "padding_mask": proc.padding_mask,
+                "resized_hw": np.asarray(proc.resized_hw),
+                "original_hw": np.asarray(proc.original_hw),
                 "region_points": pts, "region_valid": region_valid,
                 **self._pad_targets({"gt_classes": gt["gt_classes"][:R],
                                      "gt_masks": gt["gt_masks"][:R]}),
@@ -284,6 +290,8 @@ class ReferringDataset(InstanceDataset):
         s = self._splice(input_ids, labels, token_refer_id=refer_ids)
         return {**s.as_dict(), "images": proc.image,
                 "padding_mask": proc.padding_mask,
+                "resized_hw": np.asarray(proc.resized_hw),
+                "original_hw": np.asarray(proc.original_hw),
                 **self._pad_targets({"gt_classes": gt["gt_classes"],
                                      "gt_masks": gt["gt_masks"]}),
                 "image_id": rec["new_img_id"],
@@ -317,6 +325,8 @@ class MMConvDataset(BaseTaskDataset):
         s = self._splice(input_ids, labels)
         return {**s.as_dict(), "images": proc.image,
                 "padding_mask": proc.padding_mask,
+                "resized_hw": np.asarray(proc.resized_hw),
+                "original_hw": np.asarray(proc.original_hw),
                 "image_id": rec.get("id", idx),
                 "dataset_type": self.dataset_type}
 

@@ -1,0 +1,75 @@
+"""RefCOCO/+/g referring-segmentation evaluation CLI (reference:
+psalm/eval/referring_segmentation.py — cIoU + gIoU, top-1 mask)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+from psalm_tpu.config import PSALMConfig, SegTask
+from psalm_tpu.data.datasets import DataConfig, ReferringDataset, collate
+from psalm_tpu.eval.metrics import IoUMeter
+from psalm_tpu.eval.runner import EvalRunner
+from psalm_tpu.models.builder import load_pretrained_model
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model_path", required=True)
+    p.add_argument("--json_path", required=True)
+    p.add_argument("--image_folder", required=True)
+    p.add_argument("--eval_batch_size", type=int, default=1)
+    p.add_argument("--model_max_length", type=int, default=2048)
+    p.add_argument("--output_dir", default=None)
+    p.add_argument("--limit", type=int, default=0)
+    return p.parse_args()
+
+
+def evaluation(args):
+    cfg = PSALMConfig(seg_task=SegTask.REFERRING)
+    tokenizer, model, variables, _ = load_pretrained_model(
+        args.model_path, seg_task=SegTask.REFERRING)
+
+    dcfg = DataConfig(image_size=cfg.image_size,
+                      num_image_tokens=(cfg.image_size // 64) ** 2,
+                      num_seg_queries=cfg.mask_decoder.num_queries,
+                      pad_len=args.model_max_length)
+    ds = ReferringDataset(args.json_path, args.image_folder, tokenizer, dcfg,
+                          is_train=False)
+    runner = EvalRunner(model, variables, cfg)
+    meter = IoUMeter()
+
+    n = min(len(ds), args.limit) if args.limit else len(ds)
+    t0 = time.time()
+    for i in range(0, n, args.eval_batch_size):
+        samples = [ds[j] for j in range(i, min(i + args.eval_batch_size, n))]
+        batch = collate(samples)
+        out = runner.infer(batch)
+        ref = out["referring"]
+        for b, s in enumerate(samples):
+            rh, ow = s["resized_hw"], s["original_hw"]
+            # top-1 by SEG score x mask quality (SEG_instance_inference)
+            top = int(np.argmax(ref["scores"][b]))
+            pred = EvalRunner.restore_map(
+                ref["masks"][b][top].astype(np.uint8), rh, ow).astype(bool)
+            n_gt = int(s["gt_valid"].sum())
+            gt = np.zeros(tuple(ow), bool)
+            for gi in range(n_gt):
+                m = EvalRunner.restore_map(
+                    s["gt_masks"][gi].astype(np.uint8), rh, ow).astype(bool)
+                gt |= m
+            meter.update(pred, gt)
+        if i % 100 == 0:
+            print(f"[{i}/{n}] cIoU={meter.ciou:.2f} gIoU={meter.giou:.2f}")
+
+    results = {"referring": {"cIoU": meter.ciou, "gIoU": meter.giou},
+               "images_per_sec": n / (time.time() - t0)}
+    print(json.dumps(results, indent=2))
+    return results
+
+
+if __name__ == "__main__":
+    evaluation(parse_args())

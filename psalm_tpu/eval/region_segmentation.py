@@ -1,0 +1,81 @@
+"""COCO-Interactive (visual-prompt) evaluation CLI (reference:
+psalm/eval/region_segmentation.py — cIoU/gIoU per prompt type).
+
+--region_mask_type selects point/box/scribble/mask visual prompts
+(docs/GETTING_STARTED.md:37-38)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+from psalm_tpu.config import PSALMConfig, SegTask
+from psalm_tpu.data.datasets import DataConfig, InteractiveDataset, collate
+from psalm_tpu.eval.metrics import IoUMeter
+from psalm_tpu.eval.runner import EvalRunner
+from psalm_tpu.models.builder import load_pretrained_model
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model_path", required=True)
+    p.add_argument("--json_path", required=True)
+    p.add_argument("--image_folder", required=True)
+    p.add_argument("--region_mask_type", default="point_visual_prompt_mask",
+                   choices=["point_visual_prompt_mask", "mask_visual_prompt_mask",
+                            "box_visual_prompt_mask", "scribble_visual_prompt_mask"])
+    p.add_argument("--eval_batch_size", type=int, default=1)
+    p.add_argument("--model_max_length", type=int, default=2048)
+    p.add_argument("--output_dir", default=None)
+    p.add_argument("--limit", type=int, default=0)
+    return p.parse_args()
+
+
+def evaluation(args):
+    cfg = PSALMConfig(seg_task=SegTask.REGION)
+    tokenizer, model, variables, _ = load_pretrained_model(
+        args.model_path, seg_task=SegTask.REGION)
+
+    dcfg = DataConfig(image_size=cfg.image_size,
+                      num_image_tokens=(cfg.image_size // 64) ** 2,
+                      num_seg_queries=cfg.mask_decoder.num_queries,
+                      pad_len=args.model_max_length)
+    ds = InteractiveDataset(args.json_path, args.image_folder, tokenizer, dcfg,
+                            is_train=False,
+                            region_mask_type=args.region_mask_type)
+    runner = EvalRunner(model, variables, cfg)
+    meter = IoUMeter()
+
+    n = min(len(ds), args.limit) if args.limit else len(ds)
+    t0 = time.time()
+    for i in range(0, n, args.eval_batch_size):
+        samples = [ds[j] for j in range(i, min(i + args.eval_batch_size, n))]
+        batch = collate(samples)
+        out = runner.infer(batch)
+        reg = out["region"]
+        for b, s in enumerate(samples):
+            rh, ow = s["resized_hw"], s["original_hw"]
+            n_reg = int(s["region_valid"].sum())
+            for r in range(min(n_reg, int(s["gt_valid"].sum()))):
+                # best query per region prompt (region_inference scores [Q, R])
+                top = int(np.argmax(reg["scores"][b][:, r]))
+                pred = EvalRunner.restore_map(
+                    reg["masks"][b][top].astype(np.uint8), rh, ow).astype(bool)
+                gt = EvalRunner.restore_map(
+                    s["gt_masks"][r].astype(np.uint8), rh, ow).astype(bool)
+                meter.update(pred, gt)
+        if i % 100 == 0:
+            print(f"[{i}/{n}] cIoU={meter.ciou:.2f} gIoU={meter.giou:.2f}")
+
+    results = {"region": {"cIoU": meter.ciou, "gIoU": meter.giou,
+                          "type": args.region_mask_type},
+               "images_per_sec": n / (time.time() - t0)}
+    print(json.dumps(results, indent=2))
+    return results
+
+
+if __name__ == "__main__":
+    evaluation(parse_args())

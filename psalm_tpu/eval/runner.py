@@ -1,0 +1,129 @@
+"""Eval runner: jitted per-image inference + host-side geometric restore.
+
+Pipeline per image (the reference's eval_seg spine, llava_phi.py:1317-1472,
+reorganized TPU-first):
+  1. TPU (one jitted program, static shapes): full model forward ->
+     mask logits upsampled x4 to the padded 1024 frame -> task head with a
+     validity mask over the un-padded region.
+  2. Host: crop the resized region [0:nh, 0:nw] and resize to the original
+     (H, W) — cv2, C++ speed.
+
+Note on parity: the reference crops/resizes *before* its inference heads
+(fp32, per-image dynamic shapes); we run heads at padded resolution with a
+validity mask and restore geometry afterwards. Areas scale uniformly under
+the resize so the 0.8 overlap ratios are preserved; boundary-level drift is
+validated against checkpoint goldens (BASELINE.md parity bar).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from psalm_tpu.config import PSALMConfig, SegTask
+from psalm_tpu.eval import postprocess
+from psalm_tpu.ops.sampling import resize_bilinear
+
+
+class EvalRunner:
+    def __init__(self, model, variables, cfg: PSALMConfig, num_class_names=None,
+                 is_thing=None):
+        self.model = model
+        self.variables = variables
+        self.cfg = cfg
+        self.task = cfg.seg_task
+        self.num_class_names = num_class_names or cfg.num_classes + 1
+        self.is_thing = (np.asarray(is_thing, bool) if is_thing is not None
+                         else np.ones(self.num_class_names - 1, bool))
+        self._infer = jax.jit(functools.partial(self._infer_impl))
+
+    def _infer_impl(self, variables, batch, is_thing):
+        task = self.task
+        out = self.model.apply(
+            variables, batch,
+            use_class_names=task in (SegTask.PANOPTIC, SegTask.INSTANCE,
+                                     SegTask.SEMANTIC),
+            use_seg_embedding=task is SegTask.REFERRING,
+            use_regions=task is SegTask.REGION,
+            max_regions=batch.get("region_points").shape[1]
+            if "region_points" in batch else 0,
+            num_class_names=self.num_class_names,
+        )
+        masks = out["pred_masks"].astype(jnp.float32)  # [B, Q, S/4, S/4]
+        B, Q = masks.shape[:2]
+        S = self.cfg.image_size
+        masks_up = resize_bilinear(
+            masks.reshape(B * Q, *masks.shape[2:])[..., None], (S, S)
+        ).reshape(B, Q, S, S)
+        valid = ~batch["padding_mask"]  # [B, S, S]
+
+        results: Dict[str, Any] = {}
+        if task is SegTask.PANOPTIC:
+            pan, info = jax.vmap(
+                lambda cl, m, v: postprocess.panoptic_inference(
+                    cl, m, jnp.asarray(is_thing), v))(
+                out["pred_class_name_logits"], masks_up, valid)
+            results["panoptic_seg"] = pan
+            results["segments"] = info
+            sem = jax.vmap(postprocess.semantic_inference)(
+                out["pred_class_name_logits"], masks_up)
+            results["sem_seg"] = sem
+            inst = jax.vmap(lambda cl, m: postprocess.instance_inference(
+                cl, m, topk=Q, is_thing=jnp.asarray(is_thing)))(
+                out["pred_class_name_logits"],
+                masks_up * valid[:, None].astype(masks_up.dtype))
+            results["instances"] = inst
+        elif task is SegTask.INSTANCE:
+            inst = jax.vmap(lambda cl, m: postprocess.instance_inference(
+                cl, m, topk=Q))(
+                out["pred_class_name_logits"],
+                masks_up * valid[:, None].astype(masks_up.dtype))
+            results["instances"] = inst
+        elif task is SegTask.SEMANTIC:
+            results["sem_seg"] = jax.vmap(postprocess.semantic_inference)(
+                out["pred_class_name_logits"], masks_up)
+        elif task is SegTask.REFERRING:
+            ref = jax.vmap(lambda sl, m: postprocess.seg_instance_inference(
+                sl, m, topk=Q))(
+                out["pred_SEG_logits"],
+                masks_up * valid[:, None].astype(masks_up.dtype))
+            results["referring"] = ref
+        elif task is SegTask.REGION:
+            reg = jax.vmap(postprocess.region_inference)(
+                out["pred_region_logits"],
+                masks_up * valid[:, None].astype(masks_up.dtype))
+            results["region"] = reg
+        return results
+
+    def infer(self, batch: Dict[str, np.ndarray]) -> Dict[str, Any]:
+        # gt arrays stay on host (they are only for the metric accumulators;
+        # shipping 100x1024^2 masks to device would dominate transfer time)
+        jbatch = {k: jnp.asarray(v) for k, v in batch.items()
+                  if k not in ("dataset_type", "image_id", "num_class_names",
+                               "resized_hw", "original_hw", "gt_masks",
+                               "gt_labels", "gt_valid")}
+        out = self._infer(self.variables, jbatch, jnp.asarray(self.is_thing))
+        return jax.tree.map(np.asarray, out)
+
+    # -- host-side geometric restore ----------------------------------------
+
+    @staticmethod
+    def restore_map(seg: np.ndarray, resized_hw, original_hw,
+                    nearest: bool = True) -> np.ndarray:
+        """Crop the content region and resize back to the original size."""
+        import cv2
+        nh, nw = resized_hw
+        crop = seg[:nh, :nw]
+        interp = cv2.INTER_NEAREST if nearest else cv2.INTER_LINEAR
+        return cv2.resize(np.asarray(crop), (original_hw[1], original_hw[0]),
+                          interpolation=interp)
+
+    @staticmethod
+    def restore_masks(masks: np.ndarray, resized_hw, original_hw) -> np.ndarray:
+        """[Q, S, S] -> [Q, H, W] via per-mask crop + nearest resize."""
+        return np.stack([EvalRunner.restore_map(m.astype(np.uint8), resized_hw,
+                                                original_hw) for m in masks])

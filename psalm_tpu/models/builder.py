@@ -1,0 +1,51 @@
+"""Model loading entry for eval/serve (the reference's
+psalm/model/builder.py:27-72 analog).
+
+Accepts either a torch-format HF checkpoint dir (the released PSALM weights,
+converted on the fly) or an orbax directory saved by this framework, plus the
+HF tokenizer living in the same dir.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from psalm_tpu.config import PSALMConfig, SegTask
+from psalm_tpu.models.psalm import PSALM
+
+
+def load_pretrained_model(model_path: str, seg_task: SegTask = SegTask.PANOPTIC,
+                          dtype=jnp.float32, cfg: Optional[PSALMConfig] = None
+                          ) -> Tuple[Any, PSALM, Any, int]:
+    """Returns (tokenizer, model, variables, context_len)."""
+    cfg = cfg or PSALMConfig(seg_task=seg_task)
+    model = PSALM(cfg, dtype=dtype)
+
+    variables = None
+    if os.path.isdir(model_path):
+        has_orbax = os.path.exists(os.path.join(model_path, "_METADATA")) or \
+            os.path.exists(os.path.join(model_path, "manifest.ocdbt"))
+        if has_orbax:
+            from psalm_tpu.checkpoint.convert import load_orbax
+            variables = load_orbax(model_path)
+        else:
+            from psalm_tpu.checkpoint.convert import (convert_psalm_checkpoint,
+                                                      load_torch_state_dict)
+            sd = load_torch_state_dict(model_path)
+            variables = convert_psalm_checkpoint(sd, cfg)
+        variables = jax.tree.map(jnp.asarray, variables)
+
+    tokenizer = None
+    try:
+        from transformers import AutoTokenizer
+        tokenizer = AutoTokenizer.from_pretrained(model_path)
+        if "[SEG]" not in tokenizer.get_vocab():
+            tokenizer.add_tokens("[SEG]")
+    except Exception:
+        pass
+
+    return tokenizer, model, variables, cfg.phi.max_position_embeddings

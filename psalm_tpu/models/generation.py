@@ -1,0 +1,92 @@
+"""Autoregressive generation for the chat/serve path.
+
+The reference serves chat through HF ``generate`` with a KV cache
+(model_worker.py:122-192; the 1-token decode re-enters the multimodal
+preparer's early-exit branch, llava_phi.py:773-778). Here: one jitted prefill
+over the spliced multimodal sequence, then a jitted single-token decode step
+reused across positions — static shapes, no per-step retrace.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+class Generator:
+    def __init__(self, model, variables, max_len: int = 2048,
+                 cache_dtype=jnp.bfloat16):
+        self.model = model
+        self.variables = variables
+        self.max_len = max_len
+        self.cache_dtype = cache_dtype
+
+        def prefill(variables, batch, caches):
+            seq = model.apply(
+                variables, batch["tok_ids"], batch["src_type"],
+                batch["src_idx"],
+                model.apply(variables, batch["images"],
+                            method=lambda m, im: m.encode_images(im)[1]),
+                method=lambda m, t, st, si, it: m.assemble_embeddings(
+                    t, st, si, it))
+            L = seq.shape[1]
+            positions = jnp.broadcast_to(jnp.arange(L), seq.shape[:2])
+            logits, hidden, caches = model.apply(
+                variables, seq, positions=positions, caches=caches,
+                method=lambda m, e, positions, caches: m.phi(
+                    e, positions=positions, caches=caches))
+            # last non-pad position's logits
+            last = jnp.sum(batch["attention_mask"].astype(jnp.int32), -1) - 1
+            next_logits = jnp.take_along_axis(
+                logits, last[:, None, None], axis=1)[:, 0]
+            return next_logits, caches, last + 1
+
+        def decode(variables, token, pos, caches):
+            emb = model.apply(variables, token[:, None],
+                              method=lambda m, t: m.phi.embed(t))
+            logits, _, caches = model.apply(
+                variables, emb, positions=pos[:, None], caches=caches,
+                method=lambda m, e, positions, caches: m.phi(
+                    e, positions=positions, caches=caches))
+            return logits[:, 0], caches
+
+        self._prefill = jax.jit(prefill)
+        self._decode = jax.jit(decode)
+
+    def generate(self, batch: Dict[str, np.ndarray], max_new_tokens: int = 128,
+                 temperature: float = 0.0, eos_id: Optional[int] = None,
+                 rng: Optional[jax.Array] = None, stream=None) -> np.ndarray:
+        B = batch["tok_ids"].shape[0]
+        caches = self.model.apply(
+            self.variables, B, self.max_len,
+            method=lambda m, b, s: m.phi.model.init_cache(b, s,
+                                                          self.cache_dtype))
+        jbatch = {k: jnp.asarray(v) for k, v in batch.items()
+                  if k in ("tok_ids", "src_type", "src_idx", "attention_mask",
+                           "images")}
+        logits, caches, pos = self._prefill(self.variables, jbatch, caches)
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+
+        tokens: List[np.ndarray] = []
+        done = np.zeros(B, bool)
+        for _ in range(max_new_tokens):
+            if temperature > 0:
+                rng, k = jax.random.split(rng)
+                tok = jax.random.categorical(k, logits / temperature, axis=-1)
+            else:
+                tok = jnp.argmax(logits, -1)
+            tok_np = np.asarray(tok)
+            tokens.append(tok_np)
+            if stream is not None:
+                stream(tok_np)
+            if eos_id is not None:
+                done |= tok_np == eos_id
+                if done.all():
+                    break
+            logits, caches = self._decode(self.variables, tok, pos, caches)
+            pos = pos + 1
+        return np.stack(tokens, axis=1)

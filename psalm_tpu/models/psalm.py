@@ -64,6 +64,7 @@ class PSALM(nn.Module):
     cfg: PSALMConfig
     dtype: Any = jnp.float32
     remat: bool = False
+    train_backbone: bool = False
 
     def setup(self):
         c = self.cfg
@@ -86,8 +87,14 @@ class PSALM(nn.Module):
 
     def encode_images(self, images: jnp.ndarray, train: bool = False):
         """images: [B, H, W, 3] -> (features tuple res2..res5,
-        image tokens [B, N, D_llm])."""
-        feats = self.vision_tower(images, deterministic=not train)
+        image tokens [B, N, D_llm]).
+
+        The vision tower is frozen in the reference's shipped recipe
+        (train.py:416-442, frozen unless --train_backbone), so drop-path only
+        activates when the caller explicitly trains the backbone (pass a
+        'dropout' rng through apply in that case)."""
+        feats = self.vision_tower(images, deterministic=not (
+            train and self.train_backbone))
         tokens = self.mm_projector(feats[-1], train=False)
         return feats, tokens
 
