@@ -24,6 +24,8 @@ import time
 
 def measure_tpu(iters: int = 8, warmup: int = 2) -> float:
     import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/psalm_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     import jax.numpy as jnp
     from psalm_tpu.config import PSALMConfig
     from psalm_tpu.models.psalm import PSALM
@@ -47,11 +49,19 @@ def measure_tpu(iters: int = 8, warmup: int = 2) -> float:
                                        out["pred_masks"][0], is_thing)
         return pan, info["id"]
 
+    import numpy as np
+
+    def run_once():
+        pan, ids = step(params, batch)
+        # materialize to host: block_until_ready is unreliable on the axon
+        # remote backend, device_get is the honest sync
+        return int(np.asarray(ids).sum())
+
     for _ in range(warmup):
-        jax.block_until_ready(step(params, batch))
+        run_once()
     t0 = time.perf_counter()
     for _ in range(iters):
-        jax.block_until_ready(step(params, batch))
+        run_once()
     dt = time.perf_counter() - t0
     return iters / dt  # images/sec (batch 1)
 

@@ -79,8 +79,7 @@ def evaluation(args, cfg=None, tokenizer=None, model=None, variables=None):
                                     "category_id": int(s["gt_labels"][gi])})
             pq_stat.update(pan, pred_segments, gt_map, gt_segments)
 
-            sem = np.argmax(out["sem_seg"][b], axis=0).astype(np.int32)
-            sem = EvalRunner.restore_map(sem, rh, ow)
+            sem = EvalRunner.restore_map(out["sem_seg"][b], rh, ow)
             gt_sem = np.full(tuple(ow), 255, np.int32)
             for gi in range(int(s["gt_valid"].sum())):
                 m = EvalRunner.restore_map(

@@ -69,14 +69,13 @@ class EvalRunner:
                 out["pred_class_name_logits"], masks_up, valid)
             results["panoptic_seg"] = pan
             results["segments"] = info
+            # the PQ/mIoU evaluators consume only the argmax semantic map;
+            # shipping the full [K, S, S] probability volume to host would
+            # dominate transfer time (the reference's my_SemSegEvaluator also
+            # argmaxes first)
             sem = jax.vmap(postprocess.semantic_inference)(
                 out["pred_class_name_logits"], masks_up)
-            results["sem_seg"] = sem
-            inst = jax.vmap(lambda cl, m: postprocess.instance_inference(
-                cl, m, topk=Q, is_thing=jnp.asarray(is_thing)))(
-                out["pred_class_name_logits"],
-                masks_up * valid[:, None].astype(masks_up.dtype))
-            results["instances"] = inst
+            results["sem_seg"] = jnp.argmax(sem, axis=1).astype(jnp.int32)
         elif task is SegTask.INSTANCE:
             inst = jax.vmap(lambda cl, m: postprocess.instance_inference(
                 cl, m, topk=Q))(

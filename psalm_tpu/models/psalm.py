@@ -163,7 +163,15 @@ class PSALM(nn.Module):
 
         region_tokens = None
         if use_regions:
-            region_tokens = self.sample_regions(image_tokens,
+            # DAVIS video path: visual-prompt features come from the PREVIOUS
+            # frame (vp_images), PSALMForDAVISEval (llava_phi.py:1639-1844);
+            # otherwise from the current image.
+            if "vp_images" in batch:
+                _, vp_tokens = self.encode_images(batch["vp_images"],
+                                                  train=False)
+            else:
+                vp_tokens = image_tokens
+            region_tokens = self.sample_regions(vp_tokens,
                                                 batch["region_points"])
 
         seq = self.assemble_embeddings(batch["tok_ids"], batch["src_type"],

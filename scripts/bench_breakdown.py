@@ -1,0 +1,66 @@
+"""Per-stage timing of the flagship panoptic pipeline on the TPU."""
+import time
+import jax
+jax.config.update('jax_compilation_cache_dir', '/tmp/psalm_tpu_jax_cache')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 2.0)
+import jax.numpy as jnp
+
+from psalm_tpu.config import PSALMConfig
+from psalm_tpu.models.psalm import PSALM
+from psalm_tpu.eval.postprocess import panoptic_inference
+import __graft_entry__ as ge
+
+cfg = PSALMConfig(compute_dtype="bfloat16")
+K = cfg.num_classes + 1
+model = PSALM(cfg, dtype=jnp.bfloat16)
+batch = ge._panoptic_batch(cfg, B=1, num_classes=K)
+params = jax.jit(lambda r, b: model.init(r, b, use_class_names=True,
+                                         num_class_names=K))(
+    jax.random.PRNGKey(0), batch)
+
+def timed(name, fn, *args, iters=6):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+        jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    print(f"{name:28s} {dt*1000:8.1f} ms")
+    return out
+
+imgs = batch["images"]
+
+swin = jax.jit(lambda p, im: model.apply(p, im, method=lambda m, x: m.encode_images(x)))
+feats, tokens = timed("swin+projector", swin, params, imgs)
+
+phi_in = jax.jit(lambda p, b, it: model.apply(
+    p, b["tok_ids"], b["src_type"], b["src_idx"], it,
+    method=lambda m, t, st, si, img: m.assemble_embeddings(t, st, si, img)))
+seq = timed("assemble", phi_in, params, batch, tokens)
+
+phi = jax.jit(lambda p, s, am: model.apply(
+    p, s, am, method=lambda m, e, a: m.phi(e, attention_mask=a)))
+hid = timed("phi 24L full-seq", phi, params, seq, batch["attention_mask"])
+
+pd = jax.jit(lambda p, f: model.apply(p, list(f), method=lambda m, x: m.pixel_decoder(x)))
+pdout = timed("pixel decoder (msdeform x6)", pd, params, feats)
+
+mask_features, _, ms = pdout
+segq = jnp.zeros((1, 100, 256), jnp.bfloat16)
+clse = jnp.zeros((1, K, 256), jnp.bfloat16)
+md = jax.jit(lambda p, ms_, mf, sq, ce: model.apply(
+    p, list(ms_), mf, sq, None, ce, None, None, None,
+    method=lambda m, a, b, c, d, e, f, g, h: m.predictor(
+        a, b, c, SEG_embedding=d, class_name_embedding=e, class_name_valid=f,
+        region_embedding=g, region_valid=h)))
+timed("mask decoder (9L)", md, params, ms, mask_features, segq, clse)
+
+full = jax.jit(lambda p, b: model.apply(p, b, use_class_names=True,
+                                        num_class_names=K))
+out = timed("FULL forward", full, params, batch)
+
+is_thing = jnp.asarray([i % 2 == 0 for i in range(K - 1)])
+pp = jax.jit(lambda cl, m: panoptic_inference(cl, m, is_thing))
+timed("panoptic postprocess 256", pp, out["pred_class_name_logits"][0],
+      out["pred_masks"][0])
