@@ -34,7 +34,7 @@ def measure_tpu(iters: int = 8, warmup: int = 2) -> float:
 
     cfg = PSALMConfig(compute_dtype="bfloat16")
     K = cfg.num_classes + 1
-    model = PSALM(cfg, dtype=jnp.bfloat16)
+    model = PSALM(cfg, dtype=jnp.bfloat16, use_flash=True)
     batch = ge._panoptic_batch(cfg, B=1, num_classes=K)
     params = jax.jit(lambda r, b: model.init(r, b, use_class_names=True,
                                              num_class_names=K))(

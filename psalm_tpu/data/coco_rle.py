@@ -85,12 +85,20 @@ def _leb_decode(s: Union[str, bytes]) -> List[int]:
 
 def encode(mask: np.ndarray) -> Dict:
     """mask [H, W] {0,1} -> compressed RLE {'size', 'counts': bytes}."""
+    from psalm_tpu import native
+    fast = native.encode(mask)
+    if fast is not None:
+        return fast
     rle = encode_uncompressed(mask)
     return {"size": rle["size"], "counts": _leb_encode(rle["counts"])}
 
 
 def decode(rle: Dict) -> np.ndarray:
     """Compressed or uncompressed RLE -> mask [H, W] uint8."""
+    from psalm_tpu import native
+    fast = native.decode(rle)
+    if fast is not None:
+        return fast
     counts = rle["counts"]
     if isinstance(counts, (str, bytes)):
         counts = _leb_decode(counts)

@@ -137,6 +137,11 @@ def mask_iou_matrix(pred_masks: np.ndarray, gt_masks: np.ndarray,
     P, G = len(pred_masks), len(gt_masks)
     if P == 0 or G == 0:
         return np.zeros((P, G))
+    from psalm_tpu import native
+    fast = native.mask_iou_matrix(np.asarray(pred_masks, np.uint8),
+                                  np.asarray(gt_masks, np.uint8), iscrowd)
+    if fast is not None:
+        return fast
     p = pred_masks.reshape(P, -1).astype(np.float32)
     g = gt_masks.reshape(G, -1).astype(np.float32)
     inter = p @ g.T

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from typing import Any, Optional, Tuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -55,6 +56,7 @@ def apply_partial_rotary(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray,
 class PhiAttention(nn.Module):
     cfg: PhiConfig
     dtype: Any = jnp.float32
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x, attn_bias, positions, cache=None):
@@ -84,12 +86,35 @@ class PhiAttention(nn.Module):
             k, v = ck, cv
             new_cache = dict(k=ck, v=cv, index=idx + L)
 
-        # f32 attention logits (Phi trains attention in fp32 autocast).
-        attn = jnp.einsum("blhd,bshd->bhls", q.astype(jnp.float32),
-                          k.astype(jnp.float32)) / jnp.sqrt(hd).astype(jnp.float32)
-        attn = attn + attn_bias
-        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhls,bshd->blhd", attn, v.astype(self.dtype))
+        if self.use_flash and cache is None and L > 1:
+            # fused TPU flash attention; sequences are right-padded so plain
+            # causal masking is exact at every valid position. The kernel
+            # needs seq % 128 == 0; zero-pad at the end (padded keys sit
+            # after every real query, so causal masking excludes them —
+            # exact, not approximate) and slice the rows back off.
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                flash_attention)
+            pad = (-L) % 128
+            qh = jnp.transpose(q, (0, 2, 1, 3))
+            kh = jnp.transpose(k, (0, 2, 1, 3))
+            vh = jnp.transpose(v, (0, 2, 1, 3))
+            if pad:
+                pads = ((0, 0), (0, 0), (0, pad), (0, 0))
+                qh = jnp.pad(qh, pads)
+                kh = jnp.pad(kh, pads)
+                vh = jnp.pad(vh, pads)
+            out = flash_attention(qh, kh, vh, causal=True,
+                                  sm_scale=float(1.0 / np.sqrt(hd)))
+            if pad:
+                out = out[:, :, :L]
+            out = jnp.transpose(out, (0, 2, 1, 3)).astype(self.dtype)
+        else:
+            # f32 attention logits (Phi trains attention in fp32 autocast).
+            attn = jnp.einsum("blhd,bshd->bhls", q.astype(jnp.float32),
+                              k.astype(jnp.float32)) / jnp.sqrt(hd).astype(jnp.float32)
+            attn = attn + attn_bias
+            attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhls,bshd->blhd", attn, v.astype(self.dtype))
         out = out.reshape(B, L, D)
         return nn.Dense(D, dtype=self.dtype, name="dense")(out), new_cache
 
@@ -97,6 +122,7 @@ class PhiAttention(nn.Module):
 class PhiDecoderLayer(nn.Module):
     cfg: PhiConfig
     dtype: Any = jnp.float32
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x, attn_bias, positions, cache=None):
@@ -105,6 +131,7 @@ class PhiDecoderLayer(nn.Module):
         hs = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=jnp.float32,
                           name="input_layernorm")(x)
         attn_out, new_cache = PhiAttention(c, dtype=self.dtype,
+                                           use_flash=self.use_flash,
                                            name="self_attn")(hs, attn_bias,
                                                              positions, cache)
         mlp = nn.Dense(c.intermediate_size, dtype=self.dtype, name="fc1")(hs)
@@ -120,6 +147,7 @@ class PhiModel(nn.Module):
     cfg: PhiConfig
     dtype: Any = jnp.float32
     remat: bool = False
+    use_flash: bool = False
 
     def setup(self):
         self.embed_tokens = nn.Embed(self.cfg.vocab_size, self.cfg.hidden_size,
@@ -127,7 +155,8 @@ class PhiModel(nn.Module):
         layer_cls = PhiDecoderLayer
         if self.remat:
             layer_cls = nn.remat(PhiDecoderLayer, static_argnums=())
-        self.layers = [layer_cls(self.cfg, dtype=self.dtype, name=f"layers_{i}")
+        self.layers = [layer_cls(self.cfg, dtype=self.dtype,
+                                 use_flash=self.use_flash, name=f"layers_{i}")
                        for i in range(self.cfg.num_layers)]
         self.final_layernorm = nn.LayerNorm(epsilon=self.cfg.layer_norm_eps,
                                             dtype=jnp.float32)
@@ -183,9 +212,11 @@ class PhiForCausalLM(nn.Module):
     cfg: PhiConfig
     dtype: Any = jnp.float32
     remat: bool = False
+    use_flash: bool = False
 
     def setup(self):
-        self.model = PhiModel(self.cfg, dtype=self.dtype, remat=self.remat)
+        self.model = PhiModel(self.cfg, dtype=self.dtype, remat=self.remat,
+                              use_flash=self.use_flash)
         self.lm_head = nn.Dense(self.cfg.vocab_size, use_bias=self.cfg.lm_head_bias,
                                 dtype=self.dtype)
 

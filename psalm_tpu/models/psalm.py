@@ -65,12 +65,14 @@ class PSALM(nn.Module):
     dtype: Any = jnp.float32
     remat: bool = False
     train_backbone: bool = False
+    use_flash: bool = False
 
     def setup(self):
         c = self.cfg
         self.vision_tower = SwinTransformer(c.swin, dtype=self.dtype)
         self.mm_projector = ResNetSwinProjector(c.projector, dtype=self.dtype)
-        self.phi = PhiForCausalLM(c.phi, dtype=self.dtype, remat=self.remat)
+        self.phi = PhiForCausalLM(c.phi, dtype=self.dtype, remat=self.remat,
+                                  use_flash=self.use_flash)
         self.pixel_decoder = MSDeformAttnPixelDecoder(c.pixel_decoder,
                                                       dtype=self.dtype)
         self.predictor = MaskDecoder(c.mask_decoder, dtype=self.dtype)

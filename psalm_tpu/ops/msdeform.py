@@ -103,11 +103,90 @@ def ms_deform_attn_xla(
     return jnp.transpose(out, (0, 2, 1, 3)).reshape(B, Q, M * D)
 
 
+def ms_deform_attn_lanes(
+    value: jnp.ndarray,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+) -> jnp.ndarray:
+    """Lane-packed take_along_axis formulation (TPU-friendly).
+
+    Packs G = 128//D heads into the 128-lane dimension and expresses every
+    (level, point, corner) gather as jnp.take_along_axis over rows of a
+    [.., S, G*D] table — the access pattern XLA/Mosaic lowers to the TPU's
+    vectorized per-lane dynamic_gather, instead of the row-loop gather the
+    naive formulation produces.
+    """
+    B, S, M, D = value.shape
+    _, Q, _, L, P, _ = sampling_locations.shape
+    G = max(1, 128 // D)
+    while M % G:
+        G //= 2
+    MG = M // G
+
+    # [B, S, M, D] -> [B, MG, S, G*D]
+    v = jnp.transpose(value, (0, 2, 1, 3)).reshape(B, MG, G, S, D)
+    v = jnp.transpose(v, (0, 1, 3, 2, 4)).reshape(B, MG, S, G * D)
+
+    # per-head per-(l,p): pixel coords
+    loc = jnp.transpose(sampling_locations, (0, 2, 1, 3, 4, 5))  # [B,M,Q,L,P,2]
+    attn = jnp.transpose(attention_weights, (0, 2, 1, 3, 4))  # [B,M,Q,L,P]
+
+    level_start = []
+    s = 0
+    for (H, W) in spatial_shapes:
+        level_start.append(s)
+        s += H * W
+
+    out = jnp.zeros((B, MG, Q, G * D), dtype=value.dtype)
+    for lid, (H, W) in enumerate(spatial_shapes):
+        x = loc[..., lid, :, 0] * W - 0.5  # [B, M, Q, P]
+        y = loc[..., lid, :, 1] * H - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        wx1 = (x - x0).astype(value.dtype)
+        wy1 = (y - y0).astype(value.dtype)
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+        aw = attn[..., lid, :].astype(value.dtype)  # [B, M, Q, P]
+
+        for (dy, dx, wgt) in (
+            (0, 0, (1 - wy1) * (1 - wx1)),
+            (0, 1, (1 - wy1) * wx1),
+            (1, 0, wy1 * (1 - wx1)),
+            (1, 1, wy1 * wx1),
+        ):
+            yi = y0i + dy
+            xi = x0i + dx
+            valid = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
+            idx = (jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1)
+                   + level_start[lid])  # [B, M, Q, P]
+            w = wgt * valid.astype(value.dtype) * aw  # [B, M, Q, P]
+            for p in range(P):
+                # [B, M, Q] -> [B, MG, Q, G*D]
+                idx_p = idx[..., p].reshape(B, MG, G, Q)
+                idx_p = jnp.transpose(idx_p, (0, 1, 3, 2))  # [B, MG, Q, G]
+                idx_p = jnp.repeat(idx_p, D, axis=-1)
+                g = jnp.take_along_axis(v, idx_p, axis=2)
+                w_p = w[..., p].reshape(B, MG, G, Q)
+                w_p = jnp.transpose(w_p, (0, 1, 3, 2))
+                w_p = jnp.repeat(w_p, D, axis=-1)
+                out = out + g * w_p
+
+    # [B, MG, Q, G, D] -> [B, Q, M*D]
+    out = out.reshape(B, MG, Q, G, D)
+    out = jnp.transpose(out, (0, 2, 1, 3, 4)).reshape(B, Q, M * D)
+    return out
+
+
 # Dispatcher: the Pallas kernel (ops/msdeform_pallas.py) registers itself here
 # once it exists; until then the XLA path is both implementation and oracle,
 # mirroring how the reference keeps ms_deform_attn_core_pytorch as its
 # fallback (ops/modules/ms_deform_attn.py:113-121).
-_IMPL = {"xla": ms_deform_attn_xla}
+# measured on v5e (bench.py): "xla" 1.9 img/s vs "lanes" 0.051 img/s — the
+# batched take_along_axis lowers to a pathological gather on this backend, so
+# the row-gather formulation stays the default.
+_IMPL = {"xla": ms_deform_attn_xla, "lanes": ms_deform_attn_lanes}
 _DEFAULT_IMPL = "xla"
 
 

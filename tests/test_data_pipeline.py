@@ -168,3 +168,39 @@ def test_unified_sampler_homogeneous_batches(synthetic):
         assert len(kinds) == 1
         types.append(kinds.pop())
     assert types == ["panoptic_coco", "instance_coco"] * 2
+
+
+def test_native_rle_matches_numpy():
+    from psalm_tpu import native
+    from psalm_tpu.data.coco_rle import (_leb_encode, decode_uncompressed,
+                                         encode_uncompressed)
+    lib = native.get_lib()
+    assert lib is not None, "native librle.so failed to build"
+    rng = np.random.default_rng(3)
+    for shape in [(37, 23), (64, 64), (5, 1)]:
+        mask = (rng.uniform(size=shape) > 0.5).astype(np.uint8)
+        slow = encode_uncompressed(mask)
+        slow_bytes = _leb_encode(slow["counts"])
+        fast = native.encode(mask)
+        assert fast["counts"] == slow_bytes
+        np.testing.assert_array_equal(native.decode(fast), mask)
+    # crowd IoA parity with the numpy path
+    from psalm_tpu.eval.metrics import mask_iou_matrix
+    a = (rng.uniform(size=(3, 16, 16)) > 0.5)
+    b = (rng.uniform(size=(2, 16, 16)) > 0.5)
+    crowd = np.array([0, 1], np.uint8)
+    fast = native.mask_iou_matrix(a.astype(np.uint8), b.astype(np.uint8), crowd)
+    pa = a.reshape(3, -1).astype(np.float64)
+    ga = b.reshape(2, -1).astype(np.float64)
+    inter = pa @ ga.T
+    union = pa.sum(1)[:, None] + ga.sum(1)[None, :] - inter
+    union[:, 1] = pa.sum(1)
+    want = inter / union
+    np.testing.assert_allclose(fast, want, rtol=1e-9)
+
+
+def test_native_rle_corrupt_raises():
+    import pytest
+    from psalm_tpu.data import coco_rle
+    with pytest.raises(ValueError):
+        coco_rle.decode({"size": [48, 64], "counts": "!!!corrupt"})

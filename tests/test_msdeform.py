@@ -96,3 +96,24 @@ def test_point_sample_matches_torch(align_corners):
     got = np.asarray(point_sample(jnp.asarray(feat), jnp.asarray(coords),
                                   align_corners=align_corners))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_msda_lanes_matches_oracle(seed):
+    from psalm_tpu.ops.msdeform import ms_deform_attn_lanes
+    rng = np.random.default_rng(seed)
+    B, M, D = 2, 4, 32  # G = 4 heads per lane block
+    shapes = ((6, 8), (3, 4), (2, 2))
+    S = sum(h * w for h, w in shapes)
+    Q, P = 9, 4
+    L = len(shapes)
+    value = rng.standard_normal((B, S, M, D)).astype(np.float32)
+    loc = rng.uniform(-0.2, 1.2, size=(B, Q, M, L, P, 2)).astype(np.float32)
+    attn = rng.uniform(0, 1, size=(B, Q, M, L, P)).astype(np.float32)
+    attn /= attn.reshape(B, Q, M, -1).sum(-1)[..., None].reshape(B, Q, M, 1, 1)
+
+    want = np.asarray(ms_deform_attn_xla(
+        jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(attn)))
+    got = np.asarray(ms_deform_attn_lanes(
+        jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(attn)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
