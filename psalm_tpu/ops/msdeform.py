@@ -183,11 +183,98 @@ def ms_deform_attn_lanes(
 # once it exists; until then the XLA path is both implementation and oracle,
 # mirroring how the reference keeps ms_deform_attn_core_pytorch as its
 # fallback (ops/modules/ms_deform_attn.py:113-121).
+def ms_deform_attn_patch(
+    value: jnp.ndarray,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+) -> jnp.ndarray:
+    """2x2-patch gather formulation.
+
+    XLA's TPU gather is loop-bound (~350 ns per fetched row regardless of row
+    width — measured 2.8 GB/s for 32-float rows), so the win is fewer gather
+    iterations, not less traffic: the four bilinear corners of one sample are
+    a contiguous 2x2 patch, fetched with ONE lax.gather index using
+    slice_sizes=(2, 2, D) — 4x fewer loop iterations than corner-wise
+    gathers. Every *valid* corner provably lies inside the edge-clipped
+    patch, and invalid corners carry zero weight, so the result is exact.
+    """
+    B, S, M, D = value.shape
+    _, Q, _, L, P, _ = sampling_locations.shape
+    BM = B * M
+
+    value_bm = jnp.transpose(value, (0, 2, 1, 3)).reshape(BM, S, D)
+    loc = jnp.transpose(sampling_locations, (0, 2, 1, 3, 4, 5)).reshape(
+        BM, Q, L, P, 2)
+    attn = jnp.transpose(attention_weights, (0, 2, 1, 3, 4)).reshape(
+        BM, Q, L, P)
+
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3), collapsed_slice_dims=(),
+        start_index_map=(0, 1))
+
+    out = jnp.zeros((BM, Q, D), dtype=value.dtype)
+    start = 0
+    for lid, (H, W) in enumerate(spatial_shapes):
+        vmap_l = jax.lax.dynamic_slice_in_dim(value_bm, start, H * W, axis=1)
+        vmap_l = vmap_l.reshape(BM, H, W, D)
+        start += H * W
+        for p in range(P):
+            x = loc[:, :, lid, p, 0] * W - 0.5  # [BM, Q]
+            y = loc[:, :, lid, p, 1] * H - 0.5
+            x0 = jnp.floor(x)
+            y0 = jnp.floor(y)
+            fx = (x - x0).astype(value.dtype)
+            fy = (y - y0).astype(value.dtype)
+            x0i = x0.astype(jnp.int32)
+            y0i = y0.astype(jnp.int32)
+            yc = jnp.clip(y0i, 0, H - 2)
+            xc = jnp.clip(x0i, 0, W - 2)
+            starts = jnp.stack([yc, xc], axis=-1)  # [BM, Q, 2]
+
+            patch = jax.vmap(lambda v, s: jax.lax.gather(
+                v, s, dnums, slice_sizes=(2, 2, D),
+                mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+            ))(vmap_l, starts)  # [BM, Q, 2, 2, D]
+
+            aw = attn[:, :, lid, p].astype(value.dtype)  # [BM, Q]
+            wsum = jnp.zeros((BM, Q, 2, 2), value.dtype)
+            for dy, dx, wgt in ((0, 0, (1 - fy) * (1 - fx)),
+                                (0, 1, (1 - fy) * fx),
+                                (1, 0, fy * (1 - fx)),
+                                (1, 1, fy * fx)):
+                yi = y0i + dy
+                xi = x0i + dx
+                valid = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
+                py = yi - yc  # position inside the clipped patch; valid
+                px = xi - xc  # corners are always in {0, 1}
+                w = wgt * valid.astype(value.dtype) * aw
+                sel_y = jax.nn.one_hot(jnp.clip(py, 0, 1), 2,
+                                       dtype=value.dtype)
+                sel_x = jax.nn.one_hot(jnp.clip(px, 0, 1), 2,
+                                       dtype=value.dtype)
+                wsum = wsum + (w[..., None, None] * sel_y[..., :, None]
+                               * sel_x[..., None, :])
+            out = out + jnp.einsum("bqyx,bqyxd->bqd", wsum, patch)
+
+    out = out.reshape(B, M, Q, D)
+    return jnp.transpose(out, (0, 2, 1, 3)).reshape(B, Q, M * D)
+
+
 # measured on v5e (bench.py): "xla" 1.9 img/s vs "lanes" 0.051 img/s — the
-# batched take_along_axis lowers to a pathological gather on this backend, so
-# the row-gather formulation stays the default.
-_IMPL = {"xla": ms_deform_attn_xla, "lanes": ms_deform_attn_lanes}
-_DEFAULT_IMPL = "xla"
+# batched take_along_axis lowers to a pathological gather on this backend.
+# "patch" cuts gather loop iterations 4x via 2x2 slice_sizes (3.8 img/s with
+# flash attention). On CPU the simple row-gather compiles and runs faster.
+_IMPL = {"xla": ms_deform_attn_xla, "lanes": ms_deform_attn_lanes,
+         "patch": ms_deform_attn_patch}
+_DEFAULT_IMPL = None  # resolved per backend on first use
+
+
+def _default_impl() -> str:
+    global _DEFAULT_IMPL
+    if _DEFAULT_IMPL is None:
+        _DEFAULT_IMPL = "xla" if jax.default_backend() == "cpu" else "patch"
+    return _DEFAULT_IMPL
 
 
 def register_impl(name: str, fn) -> None:
@@ -202,6 +289,6 @@ def set_default_impl(name: str) -> None:
 
 def ms_deform_attn(value, spatial_shapes, sampling_locations, attention_weights,
                    impl: str | None = None):
-    fn = _IMPL[impl or _DEFAULT_IMPL]
+    fn = _IMPL[impl or _default_impl()]
     return fn(value, tuple(tuple(s) for s in spatial_shapes),
               sampling_locations, attention_weights)
