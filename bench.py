@@ -59,11 +59,16 @@ def measure_tpu(iters: int = 8, warmup: int = 2) -> float:
 
     for _ in range(warmup):
         run_once()
-    t0 = time.perf_counter()
+    times = []
     for _ in range(iters):
+        t0 = time.perf_counter()
         run_once()
-    dt = time.perf_counter() - t0
-    return iters / dt  # images/sec (batch 1)
+        times.append(time.perf_counter() - t0)
+    import sys
+    times_sorted = sorted(times)
+    p50 = times_sorted[len(times_sorted) // 2]
+    print(f"p50_per_image_latency_ms={p50 * 1000:.1f}", file=sys.stderr)
+    return iters / sum(times)  # images/sec (batch 1)
 
 
 def measure_torch_baseline(seq_len: int = 1350) -> float:

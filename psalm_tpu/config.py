@@ -148,6 +148,14 @@ class PixelDecoderConfig:
     common_stride: int = 4
     # input channels of (res2, res3, res4, res5) — Swin-B
     in_channels: Tuple[int, ...] = (128, 256, 512, 1024)
+    # "deformable" = reference-parity MSDeformAttn (XLA patch-gather; TPU
+    # gathers are loop-bound, ~300 ns/index). "dense" = TPU-first alternative
+    # for training from scratch: full flash attention over the concatenated
+    # multi-scale tokens — NOT checkpoint-compatible. Measured on v5e
+    # (full pipeline p50): deformable 260 ms; dense w/ 8 heads (head_dim 32)
+    # 716 ms (MXU-starved); dense w/ 2 heads (head_dim 128) 206 ms. Use
+    # transformer_nheads=2 with dense mode.
+    attention_mode: str = "deformable"
 
 
 @dataclasses.dataclass(frozen=True)

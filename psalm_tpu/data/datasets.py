@@ -298,6 +298,55 @@ class ReferringDataset(InstanceDataset):
                 "dataset_type": self.dataset_type}
 
 
+class SemanticDataset(BaseTaskDataset):
+    """COCO_semantic_dataset (train_datasets.py:565-615): semantic label PNG
+    -> one binary gt mask per present class, panoptic-style prompt over the
+    full class list."""
+
+    dataset_type = "semantic_coco"
+
+    def __init__(self, list_json, image_folder, label_folder, tokenizer, cfg,
+                 is_train=True, ignore_label=255, class_names=None):
+        with open(list_json) as f:
+            self.data = json.load(f)
+        self.image_folder = image_folder
+        self.label_folder = label_folder
+        self.ignore_label = ignore_label
+        super().__init__(tokenizer, cfg, class_names=class_names,
+                         is_train=is_train)
+
+    def __getitem__(self, idx):
+        rec = self.data[idx]
+        image = self._load_image(os.path.join(self.image_folder, rec["image"]))
+        proc = self.mapper.transform_image(image)
+        label = np.asarray(Image.open(os.path.join(self.label_folder,
+                                                   rec["label"])))
+        label_t = self.mapper.transform_mask(label.astype(np.uint8))
+        classes = np.unique(label_t)
+        classes = classes[(classes != self.ignore_label)
+                          & (classes < len(self.coco_class_name) - 1)]
+        masks = np.stack([(label_t == c) for c in classes]).astype(np.float32) \
+            if len(classes) else np.zeros((0, *label_t.shape), np.float32)
+
+        K = len(self.coco_class_name)
+        human, gpt = panoptic_prompt(K, task_name="Semantic Segmentation")
+        prompt = build_conversation(human, gpt)
+        input_ids, labels = tokenize_conversation(prompt, self.tokenizer)
+        cls_ids, cls_idx = tokenize_class_names(self.coco_class_name,
+                                                self.tokenizer)
+        s = self._splice(input_ids, labels, class_name_ids=cls_ids,
+                         cls_indices=cls_idx)
+        return {**s.as_dict(), "images": proc.image,
+                "padding_mask": proc.padding_mask,
+                "resized_hw": np.asarray(proc.resized_hw),
+                "original_hw": np.asarray(proc.original_hw),
+                **self._pad_targets({"gt_classes": classes.astype(np.int64),
+                                     "gt_masks": masks}),
+                "image_id": rec.get("image_id", idx),
+                "dataset_type": self.dataset_type,
+                "num_class_names": K}
+
+
 class MMConvDataset(BaseTaskDataset):
     """MM_Conv_Dataset (train_datasets.py:797-966): LLaVA-1.5 chat data; LLM
     CE loss only, no mask targets."""

@@ -82,19 +82,37 @@ def tokenize_conversation(prompt: str, tokenizer,
     sep = "[/INST] "
     sep2 = conv_llava_phi.sep2
     rounds = prompt.split(sep2)
-    cur = 1
-    labels[:cur] = IGNORE_INDEX
+
+    # phi-version masking (train_datasets.py:846-871): the +1/+2 fudge terms
+    # account for the '<|endoftext|>' separator tokens the per-round
+    # tokenization doesn't see.
+    cur = 0
+    idx = 0
     for rou in rounds:
         if rou == "":
-            break
+            continue
         parts = rou.split(sep)
         if len(parts) != 2:
             break
-        round_len = len(tokenize_special(rou, tokenizer))
-        instruction_len = len(tokenize_special(parts[0] + sep, tokenizer)) - 2
+        parts[0] += sep
+        round_len = len(tokenize_special(rou, tokenizer)) + (2 if idx else 1)
+        instruction_len = (len(tokenize_special(parts[0], tokenizer))
+                           + (0 if idx else -1))
         labels[cur:cur + instruction_len] = IGNORE_INDEX
         cur += round_len
+        idx += 1
     labels[cur:] = IGNORE_INDEX
+
+    # data-quality guard (train_datasets.py:893-899): mismatch -> fully mask
+    # with a warning. The reference's total_len counts all non-[PAD] tokens
+    # (train.py adds a distinct [PAD]; none appear pre-collation), i.e. the
+    # full token count — which the +1/+2 fudges make cur equal to when the
+    # round tokenization is consistent.
+    if cur != len(input_ids):
+        import warnings
+        warnings.warn(f"tokenization mismatch: {cur} vs {len(input_ids)} "
+                      "(sample fully label-masked)")
+        labels[:] = IGNORE_INDEX
     return input_ids, labels
 
 

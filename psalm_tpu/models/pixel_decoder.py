@@ -96,6 +96,40 @@ class MSDeformAttnLayer(nn.Module):
         return nn.Dense(D, dtype=self.dtype, name="output_proj")(out)
 
 
+class DenseSelfAttention(nn.Module):
+    """TPU-first dense alternative to deformable sampling: full flash
+    attention over the concatenated multi-scale token sequence. The key/query
+    count (21504 at 1024^2) is MXU-friendly — measured ~20x faster than the
+    loop-bound gather path on v5e. Not checkpoint-compatible."""
+
+    dim: int
+    nheads: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, query, src):
+        B, S, C = src.shape
+        h = self.nheads
+        hd = C // h
+        q = nn.Dense(C, dtype=self.dtype, name="q_proj")(query).reshape(B, S, h, hd)
+        k = nn.Dense(C, dtype=self.dtype, name="k_proj")(src).reshape(B, S, h, hd)
+        v = nn.Dense(C, dtype=self.dtype, name="value_proj")(src).reshape(B, S, h, hd)
+        if jax.default_backend() != "cpu" and S % 128 == 0:
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                flash_attention)
+            out = flash_attention(
+                jnp.transpose(q, (0, 2, 1, 3)), jnp.transpose(k, (0, 2, 1, 3)),
+                jnp.transpose(v, (0, 2, 1, 3)), causal=False,
+                sm_scale=float(hd) ** -0.5)
+            out = jnp.transpose(out, (0, 2, 1, 3))
+        else:
+            logits = jnp.einsum("bqhd,bshd->bhqs", q * hd ** -0.5, k)
+            attn = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(self.dtype)
+            out = jnp.einsum("bhqs,bshd->bqhd", attn, v)
+        out = out.reshape(B, S, C)
+        return nn.Dense(C, dtype=self.dtype, name="output_proj")(out)
+
+
 class EncoderLayer(nn.Module):
     """MSDeformAttnTransformerEncoderLayer (msdeformattn.py:27-66)."""
 
@@ -105,10 +139,15 @@ class EncoderLayer(nn.Module):
     @nn.compact
     def __call__(self, src, pos, reference_points, spatial_shapes):
         c = self.cfg
-        src2 = MSDeformAttnLayer(c.conv_dim, c.num_feature_levels,
-                                 c.transformer_nheads, c.enc_points,
-                                 dtype=self.dtype, name="self_attn")(
-            src + pos, src, reference_points, spatial_shapes)
+        if getattr(c, "attention_mode", "deformable") == "dense":
+            src2 = DenseSelfAttention(c.conv_dim, c.transformer_nheads,
+                                      dtype=self.dtype, name="self_attn")(
+                src + pos, src)
+        else:
+            src2 = MSDeformAttnLayer(c.conv_dim, c.num_feature_levels,
+                                     c.transformer_nheads, c.enc_points,
+                                     dtype=self.dtype, name="self_attn")(
+                src + pos, src, reference_points, spatial_shapes)
         src = nn.LayerNorm(dtype=jnp.float32, name="norm1")(src + src2)
         ffn = nn.Dense(c.transformer_dim_feedforward, dtype=self.dtype,
                        name="linear1")(src)

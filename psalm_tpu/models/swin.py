@@ -101,8 +101,14 @@ class WindowAttention(nn.Module):
             nn.initializers.truncated_normal(0.02),
             ((2 * self.window_size - 1) ** 2, h),
         )
+        # The bias expansion is a STATIC-index gather of N*N rows; XLA's TPU
+        # gather is loop-bound (~300 ns/row), so express it as a constant
+        # one-hot matmul instead — MXU does it for free.
         rel_idx = _relative_position_index(self.window_size).reshape(-1)
-        bias = bias_table[rel_idx].reshape(N, N, h)
+        onehot = np.zeros((rel_idx.size, bias_table.shape[0]), np.float32)
+        onehot[np.arange(rel_idx.size), rel_idx] = 1.0
+        bias = jnp.asarray(onehot) @ bias_table.astype(jnp.float32)
+        bias = bias.reshape(N, N, h)
         bias = jnp.transpose(bias, (2, 0, 1))  # [h, N, N]
         attn = attn + bias[None].astype(attn.dtype)
 

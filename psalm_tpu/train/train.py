@@ -31,7 +31,8 @@ from psalm_tpu.data.constants import IGNORE_INDEX
 from psalm_tpu.data.datasets import (DataConfig, InstanceDataset,
                                      InteractiveDataset, MMConvDataset,
                                      PanopticDataset, ReferringDataset,
-                                     UnifiedTaskSampler, collate)
+                                     SemanticDataset, UnifiedTaskSampler,
+                                     collate)
 from psalm_tpu.models.psalm import PSALM
 from psalm_tpu.train.criterion import PSALMCriterion
 from psalm_tpu.train.train_step import (TrainState, init_state, make_optimizer,
@@ -50,6 +51,8 @@ def parse_args(argv=None):
     p.add_argument("--output_dir", required=True)
     p.add_argument("--panoptic_json_path", default=None)
     p.add_argument("--instance_json_path", default=None)
+    p.add_argument("--semantic_json_path", default=None)
+    p.add_argument("--semantic_label_folder", default=None)
     p.add_argument("--region_json_path", default=None)
     p.add_argument("--ref_coco_path", default=None)
     p.add_argument("--mmconv_path", default=None)
@@ -69,6 +72,8 @@ def parse_args(argv=None):
     p.add_argument("--bf16", type=bool, default=True)
     p.add_argument("--profile_steps", default=None,
                    help="e.g. '10,15' to trace steps 10-15 to output_dir")
+    p.add_argument("--report_to", default="none",
+                   help="'tensorboard' writes scalars to output_dir/tb")
     p.add_argument("--swin_type", default="base")
     p.add_argument("--seed", type=int, default=42)
     return p.parse_args(argv)
@@ -221,6 +226,13 @@ class Trainer:
         os.makedirs(args.output_dir, exist_ok=True)
         log_path = os.path.join(args.output_dir, "train_log.jsonl")
 
+        tb_writer = None
+        if getattr(args, "report_to", "none") == "tensorboard":
+            # rank-0-style TensorBoard scalars (summary.py:26-62 analog)
+            import tensorflow as tf
+            tb_writer = tf.summary.create_file_writer(
+                os.path.join(args.output_dir, "tb"))
+
         profile_range = None
         if args.profile_steps:
             a, b = map(int, str(args.profile_steps).split(","))
@@ -257,6 +269,12 @@ class Trainer:
                 print(json.dumps(logged))
                 with open(log_path, "a") as f:
                     f.write(json.dumps(logged) + "\n")
+                if tb_writer is not None:
+                    import tensorflow as tf
+                    with tb_writer.as_default():
+                        for k, v in logged.items():
+                            if isinstance(v, (int, float)):
+                                tf.summary.scalar(k, v, step=step)
 
             if step > 0 and step % args.save_steps == 0:
                 self.save(state, step)
@@ -282,6 +300,16 @@ def main(argv=None):
     if args.panoptic_json_path:
         datasets.append(PanopticDataset(args.panoptic_json_path, tokenizer,
                                         dcfg, shuffle_classes=True))
+        ratios.append(ratio_vals[0] if ratio_vals else 1)
+    if args.instance_json_path:
+        datasets.append(InstanceDataset(args.instance_json_path,
+                                        args.image_folder, tokenizer, dcfg))
+        ratios.append(ratio_vals[0] if ratio_vals else 1)
+    if args.semantic_json_path:
+        datasets.append(SemanticDataset(args.semantic_json_path,
+                                        args.image_folder,
+                                        args.semantic_label_folder,
+                                        tokenizer, dcfg))
         ratios.append(ratio_vals[0] if ratio_vals else 1)
     if args.region_json_path:
         datasets.append(InteractiveDataset(args.region_json_path,

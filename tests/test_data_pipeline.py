@@ -204,3 +204,31 @@ def test_native_rle_corrupt_raises():
     from psalm_tpu.data import coco_rle
     with pytest.raises(ValueError):
         coco_rle.decode({"size": [48, 64], "counts": "!!!corrupt"})
+
+
+def test_semantic_dataset(tmp_path):
+    import json
+    from PIL import Image as PILImage
+    from psalm_tpu.data.datasets import SemanticDataset
+    rng = np.random.default_rng(0)
+    img_dir = tmp_path / "img"
+    lbl_dir = tmp_path / "lbl"
+    img_dir.mkdir()
+    lbl_dir.mkdir()
+    PILImage.fromarray(rng.integers(0, 255, (48, 64, 3), dtype=np.uint8)).save(
+        img_dir / "a.jpg")
+    lbl = np.full((48, 64), 255, np.uint8)
+    lbl[:20] = 0
+    lbl[20:40] = 2
+    PILImage.fromarray(lbl).save(lbl_dir / "a.png")
+    with open(tmp_path / "list.json", "w") as f:
+        json.dump([{"image": "a.jpg", "label": "a.png"}], f)
+
+    ds = SemanticDataset(str(tmp_path / "list.json"), str(img_dir),
+                         str(lbl_dir), StubTokenizer(), _cfg(),
+                         class_names=["sky", "sea", "rock", "background"])
+    s = ds[0]
+    assert s["gt_valid"].sum() == 2
+    assert sorted(s["gt_labels"][:2].tolist()) == [0, 2]
+    assert s["num_class_names"] == 4
+    assert s["gt_masks"][:2].sum() > 0

@@ -109,3 +109,15 @@ def test_mask_decoder_concat_path():
     out = jax.jit(md.apply)(params, ms, mask_features, seg_query, SEG_emb)
     assert out["pred_masks"].shape == (B, Q, s // 4, s // 4)
     assert out["pred_SEG_logits"].shape == (B, Q, 1)
+
+
+def test_pixel_decoder_dense_mode():
+    import dataclasses
+    cfg = tiny_test_config()
+    pdc = dataclasses.replace(cfg.pixel_decoder, attention_mode="dense")
+    feats = _features(cfg)
+    pd = MSDeformAttnPixelDecoder(pdc)
+    params = jax.jit(pd.init)(jax.random.PRNGKey(0), feats)
+    mask_feat, _, ms = jax.jit(pd.apply)(params, feats)
+    assert mask_feat.shape[1] == cfg.image_size // 4
+    assert np.isfinite(np.asarray(mask_feat)).all()
