@@ -76,23 +76,5 @@ def param_shardings(mesh: Mesh, params) -> Any:
     return jax.tree_util.tree_map_with_path(to_sharding, params)
 
 
-def opt_state_shardings(mesh: Mesh, opt_state, params_sharding):
-    """ZeRO-style: shard optimizer moments like their parameters; scalars
-    replicated."""
-    flat_param_shardings = {}
-
-    def collect(kp, sh):
-        flat_param_shardings["/".join(getattr(k, "key", str(k)) for k in kp)] = sh
-        return sh
-
-    jax.tree_util.tree_map_with_path(collect, params_sharding)
-
-    def map_leaf(kp, leaf):
-        key = "/".join(getattr(k, "key", str(k)) for k in kp)
-        # optimizer state trees embed the param tree; match by suffix
-        for pk, sh in flat_param_shardings.items():
-            if key.endswith(pk):
-                return sh
-        return NamedSharding(mesh, P())
-
-    return jax.tree_util.tree_map_with_path(map_leaf, opt_state)
+# ZeRO-style optimizer-state sharding lives in train/train_step.py
+# (opt_state_sharding); this module owns the parameter/TP rules only.

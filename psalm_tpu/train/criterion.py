@@ -252,7 +252,6 @@ class PSALMCriterion:
         # target[b, j, src_idx[b, j]] = 1 for valid matched pairs
         # (region j corresponds to target j, pretrain_criterion.py:152-156)
         tgt = jnp.zeros((B, R, Q), jnp.float32)
-        j_idx = jnp.arange(R)[None].repeat(B, 0)
         updates = valid[:, :R].astype(jnp.float32)
         tgt = jax.vmap(lambda t, s, u: t.at[jnp.arange(R), s[:R]].max(u))(
             tgt, src_idx, updates)

@@ -74,6 +74,9 @@ def parse_args(argv=None):
                    help="e.g. '10,15' to trace steps 10-15 to output_dir")
     p.add_argument("--report_to", default="none",
                    help="'tensorboard' writes scalars to output_dir/tb")
+    p.add_argument("--tune_mm_mlp_adapter", type=bool, default=False,
+                   help="stage-1 style: checkpoint only the mm_projector "
+                        "(llava_trainer.py:231-256)")
     p.add_argument("--swin_type", default="base")
     p.add_argument("--seed", type=int, default=42)
     return p.parse_args(argv)
@@ -179,8 +182,16 @@ class Trainer:
         path = os.path.abspath(os.path.join(self.args.output_dir,
                                             f"checkpoint-{step}"))
         ckptr = ocp.StandardCheckpointer()
-        ckptr.save(path, {"params": state.params, "opt_state": state.opt_state,
-                          "step": np.asarray(step)}, force=True)
+        if getattr(self.args, "tune_mm_mlp_adapter", False):
+            # adapter-only checkpoint (llava_trainer.py:231-256): save just
+            # the projector subtree
+            adapter = {"mm_projector": state.params["params"]["mm_projector"]}
+            ckptr.save(path, {"params": adapter, "step": np.asarray(step)},
+                       force=True)
+        else:
+            ckptr.save(path, {"params": state.params,
+                              "opt_state": state.opt_state,
+                              "step": np.asarray(step)}, force=True)
         ckptr.wait_until_finished()
         # keep-N pruning (save_total_limit, train.sh:29)
         ckpts = sorted([d for d in os.listdir(self.args.output_dir)

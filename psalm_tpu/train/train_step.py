@@ -55,9 +55,10 @@ def make_optimizer(lr: float = 6e-5, total_steps: int = 100_000,
     return optax.chain(*chain)
 
 
-def zero_shard_spec(mesh: Mesh, params) -> Any:
-    """ZeRO-style sharding for param-shaped arrays: partition the first axis
-    divisible by the 'data' mesh size; replicate otherwise."""
+def zero_shard_spec(mesh: Mesh, tree) -> Any:
+    """ZeRO-style sharding for param-shaped arrays (Adam moments included):
+    partition the first axis divisible by the 'data' mesh size; replicate
+    scalars and indivisible shapes."""
     n = mesh.shape["data"]
 
     def spec(x):
@@ -70,26 +71,11 @@ def zero_shard_spec(mesh: Mesh, params) -> Any:
                 return NamedSharding(mesh, P(*parts))
         return NamedSharding(mesh, P())
 
-    return jax.tree.map(spec, params)
+    return jax.tree.map(spec, tree)
 
 
-def opt_state_sharding(mesh: Mesh, opt_state, params) -> Any:
-    """Shard optimizer moments like zero_shard_spec(params); scalars and
-    counts replicated."""
-    param_leaves = {id(l) for l in jax.tree.leaves(params)}
-
-    def spec(x):
-        if not hasattr(x, "shape") or x.ndim == 0:
-            return NamedSharding(mesh, P())
-        n = mesh.shape["data"]
-        for axis, size in enumerate(x.shape):
-            if size % n == 0 and size >= n:
-                parts = [None] * x.ndim
-                parts[axis] = "data"
-                return NamedSharding(mesh, P(*parts))
-        return NamedSharding(mesh, P())
-
-    return jax.tree.map(spec, opt_state)
+def opt_state_sharding(mesh: Mesh, opt_state, params=None) -> Any:
+    return zero_shard_spec(mesh, opt_state)
 
 
 def make_train_step(loss_fn: Callable, tx: optax.GradientTransformation,
