@@ -44,7 +44,7 @@ def measure_tpu(iters: int = 8, warmup: int = 2) -> float:
     @jax.jit
     def step(params, batch):
         out = model.apply(params, batch, use_class_names=True,
-                          num_class_names=K)
+                          num_class_names=K, compute_logits=False)
         pan, info = panoptic_inference(out["pred_class_name_logits"][0],
                                        out["pred_masks"][0], is_thing)
         return pan, info["id"]

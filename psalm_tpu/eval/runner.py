@@ -52,6 +52,7 @@ class EvalRunner:
             max_regions=batch.get("region_points").shape[1]
             if "region_points" in batch else 0,
             num_class_names=self.num_class_names,
+            compute_logits=False,
         )
         masks = out["pred_masks"].astype(jnp.float32)  # [B, Q, S/4, S/4]
         B, Q = masks.shape[:2]

@@ -148,7 +148,8 @@ class PSALM(nn.Module):
                  use_regions: bool = False,
                  train: bool = False,
                  max_regions: int = 0,
-                 num_class_names: Optional[int] = None) -> Dict[str, jnp.ndarray]:
+                 num_class_names: Optional[int] = None,
+                 compute_logits: bool = True) -> Dict[str, jnp.ndarray]:
         """Run the full spine: vision -> LLM -> pixel decoder -> predictor.
 
         batch keys (from data/splicer.py + collator):
@@ -179,7 +180,15 @@ class PSALM(nn.Module):
         seq = self.assemble_embeddings(batch["tok_ids"], batch["src_type"],
                                        batch["src_idx"], image_tokens,
                                        region_tokens)
-        logits, hidden, _ = self.phi(seq, attention_mask=batch["attention_mask"])
+        if compute_logits:
+            logits, hidden, _ = self.phi(seq,
+                                         attention_mask=batch["attention_mask"])
+        else:
+            # eval_seg never reads the LM logits; skip the [B, L, vocab]
+            # materialization (~290 GFLOP + 280 MB at full size)
+            hidden, _ = self.phi.model(seq,
+                                       attention_mask=batch["attention_mask"])
+            logits = None
 
         # (a) seg queries
         nq = c.mask_decoder.num_queries
