@@ -28,10 +28,11 @@ def parse_args():
     return p.parse_args()
 
 
-def evaluation(args):
-    cfg = PSALMConfig(seg_task=SegTask.INSTANCE)
-    tokenizer, model, variables, _ = load_pretrained_model(
-        args.model_path, seg_task=SegTask.INSTANCE)
+def evaluation(args, cfg=None, tokenizer=None, model=None, variables=None):
+    cfg = cfg or PSALMConfig(seg_task=SegTask.INSTANCE)
+    if model is None:
+        tokenizer, model, variables, _ = load_pretrained_model(
+            args.model_path, seg_task=SegTask.INSTANCE, cfg=cfg)
 
     dcfg = DataConfig(image_size=cfg.image_size,
                       num_image_tokens=(cfg.image_size // 64) ** 2,

@@ -34,10 +34,11 @@ def parse_args():
     return p.parse_args()
 
 
-def evaluation(args):
-    cfg = PSALMConfig(seg_task=SegTask.REGION)
-    tokenizer, model, variables, _ = load_pretrained_model(
-        args.model_path, seg_task=SegTask.REGION)
+def evaluation(args, cfg=None, tokenizer=None, model=None, variables=None):
+    cfg = cfg or PSALMConfig(seg_task=SegTask.REGION)
+    if model is None:
+        tokenizer, model, variables, _ = load_pretrained_model(
+            args.model_path, seg_task=SegTask.REGION, cfg=cfg)
 
     dcfg = DataConfig(image_size=cfg.image_size,
                       num_image_tokens=(cfg.image_size // 64) ** 2,
