@@ -70,12 +70,15 @@ class CommonSemanticDataset(BaseTaskDataset):
         gt_classes = gt_classes[gt_classes != self.ignore_label]
         all_names = self.coco_class_name[:-1]
         if self.num_class and len(all_names) > self.num_class:
-            # subsample: gt classes + random negatives (reference :343-356)
-            chosen = set(int(c) for c in gt_classes if c < len(all_names))
+            # subsample: gt classes + random negatives (reference :343-356).
+            # K is held constant at num_class so the jitted program doesn't
+            # recompile per image (gt classes beyond num_class are dropped
+            # from the prompt; they score as misses, as in the reference).
+            chosen = sorted(set(int(c) for c in gt_classes
+                                if c < len(all_names)))[:self.num_class]
             negatives = [i for i in range(len(all_names)) if i not in chosen]
             self.pyrng.shuffle(negatives)
-            chosen = sorted(chosen) + negatives[:self.num_class - len(chosen)]
-            chosen = sorted(chosen)
+            chosen = sorted(chosen + negatives[:self.num_class - len(chosen)])
         else:
             chosen = list(range(len(all_names)))
         names = [all_names[i] for i in chosen] + ["background"]
