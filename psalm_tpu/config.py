@@ -76,6 +76,11 @@ class PhiConfig:
     # PSALM overrides the HF lm_head with a bias-free linear
     # (llava_phi.py:156).
     lm_head_bias: bool = False
+    # LoRA adapters on q/k/v/dense/fc1/fc2 (the reference exposes LoRA args
+    # without using them in the shipped recipe, train.py:135-139; here they
+    # are functional). 0 = disabled.
+    lora_rank: int = 0
+    lora_alpha: float = 16.0
 
     @property
     def head_dim(self) -> int:

@@ -72,6 +72,32 @@ class MultiheadAttention(nn.Module):
         return nn.Dense(D, dtype=self.dtype, name="out_proj")(out)
 
 
+class LoRADense(nn.Module):
+    """Dense with an additive low-rank adapter: y = Wx + (alpha/r) * B(Ax).
+
+    A is gaussian-init, B zero-init, so the adapter starts as identity-zero
+    and the converted base checkpoint is untouched. Freeze the base with
+    psalm_tpu.train.lora.lora_mask.
+    """
+
+    features: int
+    rank: int
+    alpha: float = 16.0
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        base = nn.Dense(self.features, use_bias=self.use_bias,
+                        dtype=self.dtype, name="base")(x)
+        a = self.param("lora_A", nn.initializers.normal(0.02),
+                       (x.shape[-1], self.rank))
+        b = self.param("lora_B", nn.initializers.zeros,
+                       (self.rank, self.features))
+        delta = (x @ a.astype(x.dtype)) @ b.astype(x.dtype)
+        return base + delta * (self.alpha / self.rank)
+
+
 class MLP(nn.Module):
     """DETR-style MLP with relu between layers
     (mask2former_transformer_decoder.py:187-199)."""

@@ -28,6 +28,15 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from psalm_tpu.config import PhiConfig
+from psalm_tpu.models.layers import LoRADense
+
+
+def _dense(cfg: PhiConfig, features, dtype, name):
+    if cfg.lora_rank > 0:
+        return LoRADense(features, cfg.lora_rank, cfg.lora_alpha,
+                         dtype=dtype, name=name)
+    import flax.linen as _nn
+    return _nn.Dense(features, dtype=dtype, name=name)
 
 
 def _rotary_tables(positions: jnp.ndarray, rotary_dim: int, theta: float):
@@ -68,9 +77,9 @@ class PhiAttention(nn.Module):
         c = self.cfg
         B, L, D = x.shape
         h, hd = c.num_heads, c.head_dim
-        q = nn.Dense(D, dtype=self.dtype, name="q_proj")(x).reshape(B, L, h, hd)
-        k = nn.Dense(D, dtype=self.dtype, name="k_proj")(x).reshape(B, L, h, hd)
-        v = nn.Dense(D, dtype=self.dtype, name="v_proj")(x).reshape(B, L, h, hd)
+        q = _dense(c, D, self.dtype, "q_proj")(x).reshape(B, L, h, hd)
+        k = _dense(c, D, self.dtype, "k_proj")(x).reshape(B, L, h, hd)
+        v = _dense(c, D, self.dtype, "v_proj")(x).reshape(B, L, h, hd)
 
         cos, sin = _rotary_tables(positions, c.rotary_dim, c.rope_theta)
         q = apply_partial_rotary(q, cos, sin, c.rotary_dim)
@@ -116,7 +125,7 @@ class PhiAttention(nn.Module):
             attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
             out = jnp.einsum("bhls,bshd->blhd", attn, v.astype(self.dtype))
         out = out.reshape(B, L, D)
-        return nn.Dense(D, dtype=self.dtype, name="dense")(out), new_cache
+        return _dense(c, D, self.dtype, "dense")(out), new_cache
 
 
 class PhiDecoderLayer(nn.Module):
@@ -134,9 +143,9 @@ class PhiDecoderLayer(nn.Module):
                                            use_flash=self.use_flash,
                                            name="self_attn")(hs, attn_bias,
                                                              positions, cache)
-        mlp = nn.Dense(c.intermediate_size, dtype=self.dtype, name="fc1")(hs)
+        mlp = _dense(c, c.intermediate_size, self.dtype, "fc1")(hs)
         mlp = jax.nn.gelu(mlp, approximate=True)  # gelu_new
-        mlp = nn.Dense(c.hidden_size, dtype=self.dtype, name="fc2")(mlp)
+        mlp = _dense(c, c.hidden_size, self.dtype, "fc2")(mlp)
         return residual + attn_out + mlp, new_cache
 
 
