@@ -92,3 +92,16 @@ def test_grefcoco_eval_cli(tiny_model, synthetic):
                      model=PSALM(cfg.replace(seg_task=SegTask.REFERRING)),
                      variables=variables)
     assert 0 <= res["grefcoco"]["gIoU"] <= 100
+
+
+def test_cityscapes_instance_eval_cli(tiny_model, synthetic):
+    from psalm_tpu.eval.cityscapes_instance import evaluation
+    cfg, variables = tiny_model
+    root, inst_json = synthetic
+    import os
+    res = evaluation(_args(inst_json, os.path.join(root, "val2017")),
+                     cfg=cfg.replace(seg_task=SegTask.INSTANCE),
+                     tokenizer=StubTokenizer(),
+                     model=PSALM(cfg.replace(seg_task=SegTask.INSTANCE)),
+                     variables=variables)
+    assert np.isfinite(res["cityscapes_instance"]["AP"])
