@@ -53,8 +53,14 @@ def evaluation(args, cfg=None, tokenizer=None, model=None, variables=None):
     sem_meter = SemSegMeter(num_classes=K - 1)
     n = min(len(ds), args.limit) if args.limit else len(ds)
     t0 = time.time()
-    for i in range(0, n, args.eval_batch_size):
-        samples = [ds[j] for j in range(i, min(i + args.eval_batch_size, n))]
+
+    from psalm_tpu.eval.runner import Prefetcher
+
+    def batches():
+        for i in range(0, n, args.eval_batch_size):
+            yield i, [ds[j] for j in range(i, min(i + args.eval_batch_size, n))]
+
+    for i, samples in Prefetcher(batches(), depth=2):
         batch = collate(samples)
         out = runner.infer(batch)
         for b, s in enumerate(samples):

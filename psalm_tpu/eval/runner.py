@@ -124,6 +124,44 @@ class EvalRunner:
 
     @staticmethod
     def restore_masks(masks: np.ndarray, resized_hw, original_hw) -> np.ndarray:
-        """[Q, S, S] -> [Q, H, W] via per-mask crop + nearest resize."""
-        return np.stack([EvalRunner.restore_map(m.astype(np.uint8), resized_hw,
-                                                original_hw) for m in masks])
+        """[Q, S, S] -> [Q, H, W] via per-mask crop + nearest resize
+        (threaded — cv2 releases the GIL, and 100 masks/image of host work
+        would otherwise rival the TPU time)."""
+        from concurrent.futures import ThreadPoolExecutor
+        if len(masks) < 8:
+            return np.stack([EvalRunner.restore_map(
+                m.astype(np.uint8), resized_hw, original_hw) for m in masks])
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            out = list(ex.map(lambda m: EvalRunner.restore_map(
+                m.astype(np.uint8), resized_hw, original_hw), masks))
+        return np.stack(out)
+
+
+class Prefetcher:
+    """Overlap dataset IO/preprocessing with device execution: a background
+    thread keeps ``depth`` ready batches ahead of the consumer."""
+
+    def __init__(self, iterator, depth: int = 2):
+        import queue
+        import threading
+        self.q = queue.Queue(maxsize=depth)
+        self._END = object()
+
+        def worker():
+            try:
+                for item in iterator:
+                    self.q.put(item)
+            finally:
+                self.q.put(self._END)
+
+        self.t = threading.Thread(target=worker, daemon=True)
+        self.t.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self.q.get()
+        if item is self._END:
+            raise StopIteration
+        return item
