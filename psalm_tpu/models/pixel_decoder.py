@@ -162,6 +162,7 @@ class MSDeformAttnPixelDecoder(nn.Module):
 
     cfg: PixelDecoderConfig
     dtype: Any = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, features: Sequence[jnp.ndarray]):
@@ -192,8 +193,9 @@ class MSDeformAttnPixelDecoder(nn.Module):
         ref_pts = _reference_points(shapes)
 
         x = src
+        layer_cls = nn.remat(EncoderLayer, static_argnums=(4,)) if self.remat             else EncoderLayer
         for li in range(c.transformer_enc_layers):
-            x = EncoderLayer(c, dtype=self.dtype, name=f"encoder_layer_{li}")(
+            x = layer_cls(c, dtype=self.dtype, name=f"encoder_layer_{li}")(
                 x, pos, ref_pts, shapes)
 
         # split back into level maps

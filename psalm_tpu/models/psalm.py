@@ -74,7 +74,8 @@ class PSALM(nn.Module):
         self.phi = PhiForCausalLM(c.phi, dtype=self.dtype, remat=self.remat,
                                   use_flash=self.use_flash)
         self.pixel_decoder = MSDeformAttnPixelDecoder(c.pixel_decoder,
-                                                      dtype=self.dtype)
+                                                      dtype=self.dtype,
+                                                      remat=self.remat)
         self.predictor = MaskDecoder(c.mask_decoder, dtype=self.dtype)
         hd = c.mask_decoder.hidden_dim
         self.seg_query = self.param("seg_query", nn.initializers.zeros,
@@ -97,6 +98,11 @@ class PSALM(nn.Module):
         'dropout' rng through apply in that case)."""
         feats = self.vision_tower(images, deterministic=not (
             train and self.train_backbone))
+        if train and not self.train_backbone:
+            # frozen tower (reference default): cut the graph so backward
+            # never materializes Swin activations — the dominant train-time
+            # memory cost at 1024^2
+            feats = jax.tree.map(jax.lax.stop_gradient, feats)
         tokens = self.mm_projector(feats[-1], train=False)
         return feats, tokens
 
