@@ -26,13 +26,38 @@ def lora_mask(params) -> Any:
         lambda kp, _: _is_lora_path(kp), params)
 
 
+def _masked_only(tx: optax.GradientTransformation, mask) -> optax.GradientTransformation:
+    """Apply tx to masked-in leaves and ZERO the rest. optax.masked alone
+    passes masked-out gradients through unchanged, and allocates optimizer
+    state only for masked-in leaves — frozen Adam moments for a 1.5B base
+    would otherwise cost ~12 GB."""
+    inv = jax.tree.map(lambda t: not t, mask)
+    return optax.chain(optax.masked(tx, mask),
+                       optax.masked(optax.set_to_zero(), inv))
+
+
 def lora_optimizer(tx: optax.GradientTransformation, params
                    ) -> optax.GradientTransformation:
     """Wrap an optimizer so only LoRA params update."""
-    mask = lora_mask(params)
-    return optax.multi_transform(
-        {"train": tx, "freeze": optax.set_to_zero()},
-        jax.tree.map(lambda t: "train" if t else "freeze", mask))
+    return _masked_only(tx, lora_mask(params))
+
+
+def psalm_finetune_mask(params) -> Any:
+    """Single-chip PSALM finetune policy: train LoRA adapters (phi) + every
+    module except the frozen vision tower and the phi base weights."""
+    def decide(kp, _):
+        names = [getattr(k, "key", str(k)) for k in kp]
+        if _is_lora_path(kp):
+            return True
+        if "vision_tower" in names or "phi" in names:
+            return False
+        return True
+    return jax.tree_util.tree_map_with_path(decide, params)
+
+
+def psalm_finetune_optimizer(tx: optax.GradientTransformation, params
+                             ) -> optax.GradientTransformation:
+    return _masked_only(tx, psalm_finetune_mask(params))
 
 
 def graft_base_params(lora_params: Any, base_params: Any) -> Any:
