@@ -78,10 +78,33 @@ def _lsa_host(cost: np.ndarray, n_valid: np.ndarray) -> Tuple[np.ndarray, np.nda
     return src, tgt
 
 
+_ASSIGN_IMPL = None  # "scipy" (host callback) or "auction" (on-device)
+
+
+def _assign_impl() -> str:
+    """scipy via pure_callback where host callbacks exist; the on-device
+    auction otherwise (the axon remote TPU backend rejects callbacks with
+    'does not support host send/recv callbacks')."""
+    global _ASSIGN_IMPL
+    if _ASSIGN_IMPL is None:
+        _ASSIGN_IMPL = ("auction" if jax.default_backend() not in
+                        ("cpu", "gpu", "tpu") else "scipy")
+    return _ASSIGN_IMPL
+
+
+def set_assign_impl(name: str) -> None:
+    global _ASSIGN_IMPL
+    assert name in ("scipy", "auction")
+    _ASSIGN_IMPL = name
+
+
 def hungarian_assign(cost: jnp.ndarray, n_valid: jnp.ndarray):
     """Static-shape assignment. Returns (src_idx [B, N], valid [B, N]):
     target j (for j < n_valid) is matched to query src_idx[b, j]."""
     cost = jax.lax.stop_gradient(cost)
+    if _assign_impl() == "auction":
+        from psalm_tpu.train.auction import auction_assign
+        return auction_assign(cost, n_valid)
     B, Q, N = cost.shape
     out_shape = (jax.ShapeDtypeStruct((B, N), jnp.int32),
                  jax.ShapeDtypeStruct((B, N), jnp.int32))

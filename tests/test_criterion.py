@@ -91,3 +91,44 @@ def test_criterion_losses_finite_and_grads():
     g = jax.grad(loss_of_masks)(outputs["pred_masks"])
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_auction_assign_near_optimal():
+    from psalm_tpu.train.auction import auction_assign
+    rng = np.random.default_rng(7)
+    B, Q, N = 2, 50, 16
+    n_valid = np.array([16, 5], np.int32)
+    cost = rng.standard_normal((B, Q, N)).astype(np.float32) * 3
+    for b in range(B):
+        cost[b, :, n_valid[b]:] = 1e8
+    src, valid = jax.jit(auction_assign)(jnp.asarray(cost),
+                                         jnp.asarray(n_valid))
+    src, valid = np.asarray(src), np.asarray(valid)
+    from scipy.optimize import linear_sum_assignment
+    for b in range(B):
+        n = n_valid[b]
+        assert valid[b, :n].all() and not valid[b, n:].any()
+        assert len(set(src[b, :n].tolist())) == n  # distinct queries
+        rows, cols = linear_sum_assignment(cost[b, :, :n].astype(np.float64))
+        opt = cost[b, rows, cols].sum()
+        got = cost[b, src[b, :n], np.arange(n)].sum()
+        assert got <= opt + 0.02 * abs(opt) + 1e-3
+
+
+def test_criterion_with_auction_matcher():
+    from psalm_tpu.train.criterion import set_assign_impl
+    set_assign_impl("auction")
+    try:
+        cfg = LossConfig(train_num_points=32)
+        crit = PSALMCriterion(cfg, num_queries=6)
+        outputs, targets = _outputs_targets(jax.random.PRNGKey(0))
+        losses = crit(jax.random.PRNGKey(1), outputs, targets,
+                      compute_class=True)
+        assert np.isfinite(float(losses["loss_total"]))
+        g = jax.grad(lambda m: crit(jax.random.PRNGKey(1),
+                                    dict(outputs, pred_masks=m),
+                                    targets)["loss_total"])(
+            outputs["pred_masks"])
+        assert np.isfinite(np.asarray(g)).all()
+    finally:
+        set_assign_impl("scipy")
