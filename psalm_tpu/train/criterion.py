@@ -83,12 +83,18 @@ _ASSIGN_IMPL = None  # "scipy" (host callback) or "auction" (on-device)
 
 def _assign_impl() -> str:
     """scipy via pure_callback where host callbacks exist; the on-device
-    auction otherwise (the axon remote TPU backend rejects callbacks with
-    'does not support host send/recv callbacks')."""
+    auction otherwise. The axon remote TPU backend rejects callbacks with
+    'does not support host send/recv callbacks' but still reports platform
+    'tpu', so support is probed by actually executing a tiny callback."""
     global _ASSIGN_IMPL
     if _ASSIGN_IMPL is None:
-        _ASSIGN_IMPL = ("auction" if jax.default_backend() not in
-                        ("cpu", "gpu", "tpu") else "scipy")
+        try:
+            probe = jax.jit(lambda x: jax.pure_callback(
+                lambda a: a, jax.ShapeDtypeStruct((), jnp.float32), x))
+            float(probe(jnp.float32(1.0)))
+            _ASSIGN_IMPL = "scipy"
+        except Exception:
+            _ASSIGN_IMPL = "auction"
     return _ASSIGN_IMPL
 
 
