@@ -87,6 +87,27 @@ def graft_base_params(lora_params: Any, base_params: Any) -> Any:
     return walk(lora_params, base_params)
 
 
+def partition_params(params: Any, mask: Any):
+    """Split a param tree into (trainable, frozen) by a boolean mask tree so
+    jax.grad differentiates ONLY the trainable subset — full-tree
+    value_and_grad would allocate gradient buffers for the frozen 1.4B base
+    (~6 GB) just to zero them."""
+    import flax
+    flat_p = flax.traverse_util.flatten_dict(params)
+    flat_m = flax.traverse_util.flatten_dict(mask)
+    train = {k: v for k, v in flat_p.items() if flat_m[k]}
+    frozen = {k: v for k, v in flat_p.items() if not flat_m[k]}
+    return (flax.traverse_util.unflatten_dict(train),
+            flax.traverse_util.unflatten_dict(frozen))
+
+
+def combine_params(trainable: Any, frozen: Any) -> Any:
+    import flax
+    flat = dict(flax.traverse_util.flatten_dict(frozen))
+    flat.update(flax.traverse_util.flatten_dict(trainable))
+    return flax.traverse_util.unflatten_dict(flat)
+
+
 def merge_lora(params: Any, alpha: float = 16.0) -> Any:
     """Fold adapters into base kernels for export: W' = W + (alpha/r) A@B."""
     def walk(node):
