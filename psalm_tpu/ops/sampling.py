@@ -18,7 +18,14 @@ def point_sample(
     coords: jnp.ndarray,  # [B, N, 2] (x, y) in [0, 1]
     align_corners: bool = False,
 ) -> jnp.ndarray:
-    """Bilinear sample features at normalized points; returns [B, N, C]."""
+    """Bilinear sample features at normalized points; returns [B, N, C].
+
+    TPU gathers are loop-bound (~300 ns per fetched row regardless of
+    width), so the four bilinear corners are fetched as ONE 2x2 patch per
+    point via lax.gather slice_sizes — 4x fewer loop iterations, exact
+    (every valid corner lies inside the edge-clipped patch; invalid corners
+    carry zero weight).
+    """
     B, H, W, C = feat.shape
     x = coords[..., 0]
     y = coords[..., 1]
@@ -31,26 +38,54 @@ def point_sample(
 
     x0 = jnp.floor(px)
     y0 = jnp.floor(py)
-    wx1 = (px - x0).astype(feat.dtype)
-    wy1 = (py - y0).astype(feat.dtype)
-    wx0 = 1.0 - wx1
-    wy0 = 1.0 - wy1
+    fx = (px - x0).astype(feat.dtype)
+    fy = (py - y0).astype(feat.dtype)
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
 
-    flat = feat.reshape(B, H * W, C)
+    if H < 2 or W < 2:
+        # degenerate maps: fall back to per-corner gathers
+        flat = feat.reshape(B, H * W, C)
 
-    def corner(yi, xi, wy, wx):
+        def corner(yi, xi, wy, wx):
+            valid = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
+            idx = jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1)
+            g = jax.vmap(lambda v, i: jnp.take(v, i, axis=0))(flat, idx)
+            return g * ((wy * wx) * valid.astype(feat.dtype))[..., None]
+
+        out = corner(y0i, x0i, (1 - fy), (1 - fx))
+        out = out + corner(y0i, x0i + 1, (1 - fy), fx)
+        out = out + corner(y0i + 1, x0i, fy, (1 - fx))
+        out = out + corner(y0i + 1, x0i + 1, fy, fx)
+        return out
+
+    yc = jnp.clip(y0i, 0, H - 2)
+    xc = jnp.clip(x0i, 0, W - 2)
+    starts = jnp.stack([yc, xc], axis=-1)  # [B, N, 2]
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3), collapsed_slice_dims=(),
+        start_index_map=(0, 1))
+    patch = jax.vmap(lambda f, s: jax.lax.gather(
+        f, s, dnums, slice_sizes=(2, 2, C),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS))(feat, starts)
+    # patch: [B, N, 2, 2, C]
+
+    wsum = jnp.zeros((*x.shape, 2, 2), feat.dtype)
+    for dy, dx, wgt in ((0, 0, (1 - fy) * (1 - fx)),
+                        (0, 1, (1 - fy) * fx),
+                        (1, 0, fy * (1 - fx)),
+                        (1, 1, fy * fx)):
+        yi = y0i + dy
+        xi = x0i + dx
         valid = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
-        idx = jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1)
-        g = jax.vmap(lambda v, i: jnp.take(v, i, axis=0))(flat, idx)
-        return g * ((wy * wx) * valid.astype(feat.dtype))[..., None]
-
-    out = corner(y0i, x0i, wy0, wx0)
-    out = out + corner(y0i, x0i + 1, wy0, wx1)
-    out = out + corner(y0i + 1, x0i, wy1, wx0)
-    out = out + corner(y0i + 1, x0i + 1, wy1, wx1)
-    return out
+        py_ = jnp.clip(yi - yc, 0, 1)
+        px_ = jnp.clip(xi - xc, 0, 1)
+        w = wgt * valid.astype(feat.dtype)
+        sel_y = jax.nn.one_hot(py_, 2, dtype=feat.dtype)
+        sel_x = jax.nn.one_hot(px_, 2, dtype=feat.dtype)
+        wsum = wsum + (w[..., None, None] * sel_y[..., :, None]
+                       * sel_x[..., None, :])
+    return jnp.einsum("bnyx,bnyxc->bnc", wsum, patch)
 
 
 def resize_bilinear(x: jnp.ndarray, out_hw, antialias: bool = False) -> jnp.ndarray:
