@@ -43,8 +43,10 @@ def point_sample(
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
 
-    if H < 2 or W < 2:
-        # degenerate maps: fall back to per-corner gathers
+    if H < 2 or W < 2 or C < 2:
+        # degenerate maps and single-channel feats: per-corner row gathers
+        # (slice_sizes=(2,2,1) patch gathers kernel-fault the axon TPU
+        # worker)
         flat = feat.reshape(B, H * W, C)
 
         def corner(yi, xi, wy, wx):

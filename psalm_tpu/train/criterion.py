@@ -161,10 +161,15 @@ class PSALMCriterion:
     """Functional criterion. Call with one layer's outputs + targets."""
 
     def __init__(self, cfg: LossConfig, num_queries: int,
-                 dp_axis: Optional[str] = None):
+                 dp_axis: Optional[str] = None,
+                 per_mask_uncertainty: bool = False):
         self.cfg = cfg
         self.num_queries = num_queries
         self.dp_axis = dp_axis
+        # True = the reference's exact per-mask point_rend sampling (slow on
+        # TPU); False = image-shared uncertainty points, channel-stacked
+        # gathers (TPU-first default).
+        self.per_mask_uncertainty = per_mask_uncertainty
 
     # -- matching ----------------------------------------------------------
 
@@ -180,15 +185,22 @@ class PSALMCriterion:
         B, Q = pred_masks.shape[:2]
         N = targets["masks"].shape[1]
 
-        # shared uniform point set per image (pretrain_criterion.py:422)
+        # shared uniform point set per image (pretrain_criterion.py:422).
+        # Because the point set is shared across masks, all Q (resp. N)
+        # masks are sampled in ONE gather by stacking them on the channel
+        # axis — 100x fewer gather rows than per-mask sampling on the
+        # loop-bound TPU gather.
         coords = jax.random.uniform(rng, (B, c.train_num_points, 2))
 
-        out_pts = jax.vmap(
-            lambda m, xy: _sample_mask_at(m, jnp.broadcast_to(xy[None], (Q, *xy.shape)))
-        )(pred_masks, coords)  # [B, Q, P]
-        tgt_pts = jax.vmap(
-            lambda m, xy: _sample_mask_at(m, jnp.broadcast_to(xy[None], (N, *xy.shape)))
-        )(targets["masks"].astype(jnp.float32), coords)  # [B, N, P]
+        pred_chan = jnp.transpose(pred_masks, (0, 2, 3, 1))  # [B, h, w, Q]
+        out_pts = jnp.transpose(point_sample(pred_chan, coords,
+                                             align_corners=False),
+                                (0, 2, 1))  # [B, Q, P]
+        tgt_chan = jnp.transpose(targets["masks"].astype(jnp.float32),
+                                 (0, 2, 3, 1))  # [B, H, W, N]
+        tgt_pts = jnp.transpose(point_sample(tgt_chan, coords,
+                                             align_corners=False),
+                                (0, 2, 1))  # [B, N, P]
 
         cost_mask = jax.vmap(batch_sigmoid_ce_cost)(out_pts, tgt_pts)
         cost_dice = jax.vmap(batch_dice_cost)(out_pts, tgt_pts)
@@ -211,6 +223,15 @@ class PSALMCriterion:
     # -- per-loss terms ------------------------------------------------------
 
     def loss_masks(self, rng, outputs, targets, src_idx, valid, num_masks):
+        """Point-sampled mask losses (pretrain_criterion.py:234-282).
+
+        TPU-first deviation (see class docstring): the uncertainty point set
+        is shared across an image's masks (per-point uncertainty = max over
+        masks) so every sample is ONE channel-stacked gather instead of
+        per-mask row gathers — the reference's per-mask point_rend sampling
+        costs ~50 s/step on the loop-bound TPU gather. Set
+        ``per_mask_uncertainty=True`` for the reference's exact sampling.
+        """
         c = self.cfg
         pred = outputs["pred_masks"].astype(jnp.float32)
         B, Q, h, w = pred.shape
@@ -218,6 +239,37 @@ class PSALMCriterion:
         src_masks = jnp.take_along_axis(
             pred, src_idx[..., None, None], axis=1)  # [B, N, h, w]
         tgt_masks = targets["masks"].astype(jnp.float32)
+
+        if not self.per_mask_uncertainty:
+            P = c.train_num_points
+            n_sampled = int(P * c.oversample_ratio)
+            n_unc = int(c.importance_sample_ratio * P)
+            k1, k2 = jax.random.split(rng)
+            pred_chan = jnp.transpose(src_masks, (0, 2, 3, 1))  # [B, h, w, N]
+            tgt_chan = jnp.transpose(tgt_masks, (0, 2, 3, 1))
+            probe = jax.random.uniform(k1, (B, n_sampled, 2))
+            logits0 = point_sample(pred_chan, probe)  # [B, S, N]
+            unc = jnp.max(jnp.where(valid[:, None, :], -jnp.abs(logits0),
+                                    -jnp.inf), axis=-1)  # [B, S]
+            _, idx = jax.lax.top_k(unc, n_unc)
+            top = jnp.take_along_axis(probe, idx[..., None], axis=1)
+            rand = jax.random.uniform(k2, (B, P - n_unc, 2))
+            coords = jax.lax.stop_gradient(
+                jnp.concatenate([top, rand], axis=1))  # [B, P, 2]
+            point_logits = jnp.transpose(
+                point_sample(pred_chan, coords), (0, 2, 1)).reshape(B * N, P)
+            point_labels = jax.lax.stop_gradient(jnp.transpose(
+                point_sample(tgt_chan, coords), (0, 2, 1))).reshape(B * N, P)
+            v = valid.reshape(B * N).astype(jnp.float32)
+            ce = (jax.nn.softplus(point_logits)
+                  - point_logits * point_labels)
+            loss_mask = jnp.sum(ce.mean(-1) * v) / num_masks
+            probs = jax.nn.sigmoid(point_logits)
+            numerator = 2.0 * jnp.sum(probs * point_labels, -1)
+            denominator = probs.sum(-1) + point_labels.sum(-1)
+            dice = 1.0 - (numerator + 1.0) / (denominator + 1.0)
+            loss_dice = jnp.sum(dice * v) / num_masks
+            return loss_mask, loss_dice
 
         sm = src_masks.reshape(B * N, h, w)
         tm = tgt_masks.reshape(B * N, *tgt_masks.shape[2:])
