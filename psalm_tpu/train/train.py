@@ -77,6 +77,13 @@ def parse_args(argv=None):
     p.add_argument("--tune_mm_mlp_adapter", type=bool, default=False,
                    help="stage-1 style: checkpoint only the mm_projector "
                         "(llava_trainer.py:231-256)")
+    p.add_argument("--pixel_decoder_mode", default="deformable",
+                   choices=["deformable", "dense"],
+                   help="'dense' (flash attention, 2 heads) trains ~44x "
+                        "faster on TPU (1.2 vs 51 s/step at 1024^2: the "
+                        "deformable gathers' scatter-add backward is "
+                        "loop-bound); 'deformable' is checkpoint-compatible "
+                        "with the reference")
     p.add_argument("--swin_type", default="base")
     p.add_argument("--seed", type=int, default=42)
     return p.parse_args(argv)
@@ -117,9 +124,16 @@ class Trainer:
     def __init__(self, args, cfg: Optional[PSALMConfig] = None, model=None,
                  variables=None, mesh=None):
         self.args = args
-        self.cfg = cfg or PSALMConfig(
-            seg_task=SegTask(args.seg_task),
-            compute_dtype="bfloat16" if args.bf16 else "float32")
+        if cfg is None:
+            cfg = PSALMConfig(
+                seg_task=SegTask(args.seg_task),
+                compute_dtype="bfloat16" if args.bf16 else "float32")
+            if getattr(args, "pixel_decoder_mode", "deformable") == "dense":
+                import dataclasses as _dc
+                cfg = cfg.replace(pixel_decoder=_dc.replace(
+                    cfg.pixel_decoder, attention_mode="dense",
+                    transformer_nheads=2))
+        self.cfg = cfg
         dtype = jnp.bfloat16 if args.bf16 else jnp.float32
         self.model = model or PSALM(self.cfg, dtype=dtype,
                                     remat=args.gradient_checkpointing)
