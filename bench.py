@@ -33,6 +33,15 @@ def measure_tpu(iters: int = 8, warmup: int = 2) -> float:
     import __graft_entry__ as ge
 
     cfg = PSALMConfig(compute_dtype="bfloat16")
+    # pixel-decoder attention: "window" (default) = deformable math as
+    # per-tile MXU matmuls, exact while offsets stay within ±8 px of the
+    # static reference points (ops/msdeform_window.py); "deformable" = the
+    # unclamped patch-gather parity path.
+    mode = os.environ.get("PSALM_BENCH_PIXDEC_MODE", "window")
+    if mode != "deformable":
+        import dataclasses
+        cfg = cfg.replace(pixel_decoder=dataclasses.replace(
+            cfg.pixel_decoder, attention_mode=mode))
     K = cfg.num_classes + 1
     model = PSALM(cfg, dtype=jnp.bfloat16, use_flash=True)
     batch = ge._panoptic_batch(cfg, B=1, num_classes=K)

@@ -154,13 +154,20 @@ class PixelDecoderConfig:
     # input channels of (res2, res3, res4, res5) — Swin-B
     in_channels: Tuple[int, ...] = (128, 256, 512, 1024)
     # "deformable" = reference-parity MSDeformAttn (XLA patch-gather; TPU
-    # gathers are loop-bound, ~300 ns/index). "dense" = TPU-first alternative
-    # for training from scratch: full flash attention over the concatenated
-    # multi-scale tokens — NOT checkpoint-compatible. Measured on v5e
-    # (full pipeline p50): deformable 260 ms; dense w/ 8 heads (head_dim 32)
-    # 716 ms (MXU-starved); dense w/ 2 heads (head_dim 128) 206 ms. Use
+    # gathers are loop-bound, ~300 ns/index). "window" = the same deformable
+    # math re-expressed as per-tile window MXU matmuls
+    # (ops/msdeform_window.py): bit-matches "deformable" whenever sampling
+    # offsets stay within ±window_radius pixels of the (static) reference
+    # point, and keeps checkpoint compatibility; offsets beyond the radius
+    # are clamped. "dense" = TPU-first alternative for training from
+    # scratch: full flash attention over the concatenated multi-scale
+    # tokens — NOT checkpoint-compatible. Measured on v5e (full pipeline
+    # p50): deformable 260 ms; dense w/ 8 heads (head_dim 32) 716 ms
+    # (MXU-starved); dense w/ 2 heads (head_dim 128) 206 ms. Use
     # transformer_nheads=2 with dense mode.
     attention_mode: str = "deformable"
+    window_radius: float = 8.0  # offset clamp (target-level px), window mode
+    window_tile: int = 16  # query tile side, window mode
 
 
 @dataclasses.dataclass(frozen=True)

@@ -61,6 +61,11 @@ class MSDeformAttnLayer(nn.Module):
     n_heads: int
     n_points: int
     dtype: Any = jnp.float32
+    # None = dispatcher default; "window" = locality-window MXU formulation
+    # (ops/msdeform_window.py) with offsets clamped to ±window_radius px.
+    impl: Any = None
+    window_radius: float = 8.0
+    window_tile: int = 16
 
     @nn.compact
     def __call__(self, query, src, reference_points, spatial_shapes):
@@ -92,7 +97,14 @@ class MSDeformAttnLayer(nn.Module):
         ref = jnp.asarray(reference_points)[None, :, None, :, None, :]
         loc = ref + offsets / jnp.asarray(normalizer)[None, None, None, :, None, :]
 
-        out = ms_deform_attn(value, spatial_shapes, loc, attn)
+        if self.impl == "window":
+            from psalm_tpu.ops.msdeform_window import ms_deform_attn_window
+            out = ms_deform_attn_window(value, spatial_shapes, loc, attn,
+                                        tile=self.window_tile,
+                                        radius=self.window_radius)
+        else:
+            out = ms_deform_attn(value, spatial_shapes, loc, attn,
+                                 impl=self.impl)
         return nn.Dense(D, dtype=self.dtype, name="output_proj")(out)
 
 
@@ -139,14 +151,19 @@ class EncoderLayer(nn.Module):
     @nn.compact
     def __call__(self, src, pos, reference_points, spatial_shapes):
         c = self.cfg
-        if getattr(c, "attention_mode", "deformable") == "dense":
+        mode = getattr(c, "attention_mode", "deformable")
+        if mode == "dense":
             src2 = DenseSelfAttention(c.conv_dim, c.transformer_nheads,
                                       dtype=self.dtype, name="self_attn")(
                 src + pos, src)
         else:
-            src2 = MSDeformAttnLayer(c.conv_dim, c.num_feature_levels,
-                                     c.transformer_nheads, c.enc_points,
-                                     dtype=self.dtype, name="self_attn")(
+            src2 = MSDeformAttnLayer(
+                c.conv_dim, c.num_feature_levels, c.transformer_nheads,
+                c.enc_points, dtype=self.dtype,
+                impl="window" if mode == "window" else None,
+                window_radius=getattr(c, "window_radius", 8.0),
+                window_tile=getattr(c, "window_tile", 16),
+                name="self_attn")(
                 src + pos, src, reference_points, spatial_shapes)
         src = nn.LayerNorm(dtype=jnp.float32, name="norm1")(src + src2)
         ffn = nn.Dense(c.transformer_dim_feedforward, dtype=self.dtype,

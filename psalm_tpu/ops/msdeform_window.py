@@ -1,0 +1,228 @@
+"""Locality-window multi-scale deformable attention — TPU-first formulation.
+
+Replaces the reference CUDA kernel's per-sample gathers
+(ms_deform_im2col_cuda.cuh:242-305) with MXU matmuls. XLA's TPU gather and
+scatter are loop-bound (~300 ns / index — see ops/msdeform.py), which makes
+the gather formulation the eval bottleneck and its scatter-add transpose the
+training bottleneck. This module removes BOTH by never gathering per sample:
+
+  1. Encoder structure: queries == the flattened multi-scale pixel set, and
+     each query's reference point is its own pixel centre
+     (models/pixel_decoder.py::_reference_points). So a 2-D *tile* of
+     queries samples inside a statically-known window of each value level —
+     tile box (in target-level pixels) dilated by a clamp radius R.
+  2. Window extraction with static starts: one lax.dynamic_slice per tile
+     (vmapped → a single gather whose loop count is the TILE count, ~84,
+     not the SAMPLE count, ~2M).
+  3. Bilinear sampling inside the window as *separable* matmuls: the 2x2
+     bilinear stencil factorises into per-axis 2-tap weight matrices
+     Ax [s, ww] and Ay [s, wh] (sums of two scaled one-hots — cheap VPU
+     builds, and not a pattern XLA rewrites back into a gather). Then
+         sampled[s] = Ay[s] @ window @ Ax[s]^T
+     computed as T1 = Ax @ window^T (an MXU matmul) followed by a
+     contraction with Ay. The VJP is matmuls too — no scatter anywhere.
+
+Semantics: identical to ms_deform_attn_xla (the torch grid_sample oracle,
+zeros padding, align_corners=False) EXCEPT that sampling offsets are clamped
+to ±``radius`` pixels of the query's reference point, measured in the target
+level's pixels (the native unit of the predictor's offsets,
+models/pixel_decoder.py:93). Within the radius the result is exact —
+including zero-padding at image borders, because corner validity is computed
+from the *global* coordinates and every valid corner of an in-radius sample
+provably lies inside the window:
+
+    window start  s = clip(floor(box_min - R), 0, N - w)
+    window width  w = ceil((t-1)·f + 2R + 3)        (f = level scale ratio)
+    corner range  [floor(box_min - R), floor(box_max + R) + 1] ⊆ [s, s+w-1]
+
+The deformable-DETR offset head is zero-init with bias magnitudes ≤ n_points
+(models/pixel_decoder.py::_offset_bias_init), so radius=8 covers init and a
+wide training margin; it is configurable per call and via the dispatcher.
+
+Decoder-style calls (Q != S) fall back to the oracle — PSALM only uses
+MSDeformAttn in the encoder, where Q == S always holds.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from psalm_tpu.ops import msdeform as _base
+
+
+def _tile_dim(n: int, tile: int) -> int:
+    """Largest divisor of n that is <= tile."""
+    for t in range(min(tile, n), 0, -1):
+        if n % t == 0:
+            return t
+    return 1
+
+
+@functools.lru_cache(maxsize=None)
+def _axis_plan(n_tiles: int, tile_sz: int, scale_num: int, scale_den: int,
+               n_v: int, radius: float):
+    """Static 1-D window geometry: (width, starts[n_tiles])."""
+    f = scale_num / scale_den
+    span = (tile_sz - 1) * f
+    w = min(n_v, int(math.ceil(span + 2 * radius + 3)))
+    starts = []
+    for ti in range(n_tiles):
+        lo = (ti * tile_sz + 0.5) * f - 0.5 - radius
+        starts.append(max(0, min(int(math.floor(lo)), n_v - w)))
+    return w, tuple(starts)
+
+
+@functools.lru_cache(maxsize=None)
+def _ref_grid(Hq: int, Wq: int, thq: int, twq: int, Hv: int, Wv: int):
+    """Static tile-major reference-point pixel coords in the target level.
+
+    Returns (refy, refx), each [T, nq] float32.
+    """
+    ys = ((np.arange(Hq, dtype=np.float64) + 0.5) / Hq) * Hv - 0.5
+    xs = ((np.arange(Wq, dtype=np.float64) + 0.5) / Wq) * Wv - 0.5
+    gy = np.broadcast_to(ys[:, None], (Hq, Wq))
+    gx = np.broadcast_to(xs[None, :], (Hq, Wq))
+
+    def tilefy(g):
+        Ty, Tx = Hq // thq, Wq // twq
+        g = g.reshape(Ty, thq, Tx, twq).transpose(0, 2, 1, 3)
+        return np.ascontiguousarray(g.reshape(Ty * Tx, thq * twq),
+                                    dtype=np.float32)
+
+    return tilefy(gy), tilefy(gx)
+
+
+def _axis_weights(coord, ref, st, w_sz, n_v, radius, fold, dt):
+    """Per-axis 2-tap bilinear weight matrix A [..., w_sz].
+
+    coord/ref/st/fold broadcast together (st = window starts). Offsets are
+    clamped to ±radius around ref; corner validity uses global coords so
+    border zero-padding matches the oracle exactly.
+    """
+    c = ref + jnp.clip(coord - ref, -radius, radius)
+    c0 = jnp.floor(c)
+    frac = (c - c0).astype(dt)
+    c0i = c0.astype(jnp.int32)
+    A = None
+    for d in (0, 1):
+        ci = c0i + d
+        valid = ((ci >= 0) & (ci < n_v)).astype(dt)
+        li = jnp.clip(ci - st, 0, w_sz - 1)
+        wgt = (frac if d else (1.0 - frac)) * valid
+        if fold is not None:
+            wgt = wgt * fold
+        term = wgt[..., None] * jax.nn.one_hot(li, w_sz, dtype=dt)
+        A = term if A is None else A + term
+    return A
+
+
+def ms_deform_attn_window(
+    value: jnp.ndarray,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+    *,
+    tile: int = 16,
+    radius: float = 8.0,
+) -> jnp.ndarray:
+    """Windowed MSDeformAttn. Same signature/convention as ms_deform_attn_xla
+    (value [B,S,M,D], locations [B,Q,M,L,P,2] in [0,1], weights [B,Q,M,L,P]);
+    requires the encoder case Q == S (falls back to the oracle otherwise).
+    """
+    B, S, M, D = value.shape
+    _, Q, _, L, P, _ = sampling_locations.shape
+    spatial_shapes = tuple(tuple(s) for s in spatial_shapes)
+    if Q != S:
+        return _base.ms_deform_attn_xla(value, spatial_shapes,
+                                        sampling_locations, attention_weights)
+    dt = value.dtype
+    radius = float(radius)
+
+    lvl_start = []
+    s0 = 0
+    for (H, W) in spatial_shapes:
+        lvl_start.append(s0)
+        s0 += H * W
+
+    outs = []
+    for lqi, (Hq, Wq) in enumerate(spatial_shapes):
+        Sq = Hq * Wq
+        q0 = lvl_start[lqi]
+        thq = _tile_dim(Hq, tile)
+        twq = _tile_dim(Wq, tile)
+        Ty, Tx = Hq // thq, Wq // twq
+        T, nq = Ty * Tx, thq * twq
+
+        def tilefy(a):
+            sh = a.shape
+            a = a.reshape((B, Ty, thq, Tx, twq) + sh[2:])
+            a = jnp.moveaxis(a, 3, 2)
+            return a.reshape((B, T, nq) + sh[2:])
+
+        loc_q = tilefy(sampling_locations[:, q0:q0 + Sq])   # [B,T,nq,M,L,P,2]
+        attn_q = tilefy(attention_weights[:, q0:q0 + Sq])   # [B,T,nq,M,L,P]
+
+        acc = None
+        for lvi, (Hv, Wv) in enumerate(spatial_shapes):
+            wh, sy = _axis_plan(Ty, thq, Hv, Hq, Hv, radius)
+            ww, sx = _axis_plan(Tx, twq, Wv, Wq, Wv, radius)
+            starts = np.stack(np.meshgrid(np.asarray(sy, np.int32),
+                                          np.asarray(sx, np.int32),
+                                          indexing="ij"), -1).reshape(-1, 2)
+            refy, refx = _ref_grid(Hq, Wq, thq, twq, Hv, Wv)
+
+            v0 = lvl_start[lvi]
+            # head-major value (small transpose: the value level, not the
+            # windows) so window extraction needs no big relayout
+            vlv = value[:, v0:v0 + Hv * Wv].reshape(B, Hv, Wv, M, D)
+            vh = jnp.moveaxis(vlv, 3, 0)                      # [M,B,Hv,Wv,D]
+            st = jnp.asarray(starts)
+            win = jax.vmap(jax.vmap(lambda vb: jax.vmap(
+                lambda s: jax.lax.dynamic_slice(
+                    vb, (s[0], s[1], 0), (wh, ww, D)))(st)))(vh)
+            win = win.reshape(M, B, T, wh, ww * D)
+
+            # per-head coords (small transposes) — Ax/Ay are built inside the
+            # head-mapped body so only one head's weight matrices are live
+            x = loc_q[..., lvi, :, 0] * Wv - 0.5              # [B,T,nq,M,P]
+            y = loc_q[..., lvi, :, 1] * Hv - 0.5
+            aw = attn_q[..., lvi, :].astype(dt)
+            xh = jnp.moveaxis(x, 3, 0)                        # [M,B,T,nq,P]
+            yh = jnp.moveaxis(y, 3, 0)
+            awh = jnp.moveaxis(aw, 3, 0)
+            rx = jnp.asarray(refx)[None, :, :, None]          # [1,T,nq,1]
+            ry = jnp.asarray(refy)[None, :, :, None]
+            sx_b = jnp.asarray(starts[:, 1])[None, :, None, None]
+            sy_b = jnp.asarray(starts[:, 0])[None, :, None, None]
+
+            def head_body(ops, wh=wh, ww=ww, nq=nq, Hv=Hv, Wv=Wv):
+                xh_, yh_, awh_, wn = ops
+                Ay = _axis_weights(yh_, ry, sy_b, wh, Hv, radius,
+                                   None, dt).reshape(B, T, nq * P, wh)
+                Ax = _axis_weights(xh_, rx, sx_b, ww, Wv, radius,
+                                   awh_.astype(dt), dt).reshape(
+                    B, T, nq * P, ww)
+                # contract wh first (window already [wh, ww*D]-contiguous)
+                t1 = jnp.einsum("btsh,bthk->btsk", Ay, wn)
+                t1 = t1.reshape(B, T, nq * P, ww, D)
+                return jnp.einsum("btsw,btswd->btsd", Ax, t1)
+
+            outh = jax.lax.map(jax.checkpoint(head_body), (xh, yh, awh, win))
+            contrib = outh.reshape(M, B, T, nq, P, D).sum(4)  # [M,B,T,nq,D]
+            acc = contrib if acc is None else acc + contrib
+
+        o = jnp.transpose(acc, (1, 2, 3, 0, 4))              # [B,T,nq,M,D]
+        o = o.reshape(B, Ty, Tx, thq, twq, M * D)
+        o = jnp.moveaxis(o, 2, 3).reshape(B, Sq, M * D)
+        outs.append(o)
+
+    return jnp.concatenate(outs, axis=1).astype(dt)
+
+
+_base.register_impl("window", ms_deform_attn_window)

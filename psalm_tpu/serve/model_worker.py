@@ -3,8 +3,11 @@ and serves streaming generation.
 
 Behavioral spec: psalm/serve/model_worker.py (ModelWorker :44, register
 /heartbeat :74-106, semaphore-limited generate_stream :122-192). Streaming
-wire format matches the reference: JSON chunks terminated by b"\\0". Chat
-only (the reference's worker exercises HF generate, not the mask head).
+wire format matches the reference: JSON chunks terminated by b"\\0".
+
+Beyond reference parity: POST /worker_segment runs the mask heads
+(panoptic / semantic / referring) and returns COCO RLEs — the reference's
+worker exposes chat only (serve/segmentation.py).
 """
 
 from __future__ import annotations
@@ -79,6 +82,42 @@ class ModelWorker:
         return {"model_names": [self.model_name], "speed": 1,
                 "queue_length": self.queue_length}
 
+    # -- segmentation ---------------------------------------------------------
+
+    @property
+    def segmenter(self):
+        if not hasattr(self, "_segmenter"):
+            from psalm_tpu.serve.segmentation import SegmentService
+            self._segmenter = SegmentService(self.model, self.variables,
+                                             self.tokenizer, self.model.cfg)
+        return self._segmenter
+
+    def segment(self, params):
+        """params: {image: base64, task: panoptic|semantic|referring,
+        expression?: str} -> masks as COCO RLEs (original geometry)."""
+        import base64
+        import io
+        from PIL import Image
+        if not params.get("image"):
+            return {"error_code": 1, "text": "segment requires 'image'"}
+        try:
+            img = Image.open(io.BytesIO(base64.b64decode(params["image"])))
+            image = np.asarray(img.convert("RGB"))
+        except Exception as e:  # malformed base64 / not an image
+            return {"error_code": 1,
+                    "text": f"could not decode 'image': {e}"}
+        task = params.get("task", "panoptic")
+        with self.semaphore:
+            self.queue_length += 1
+            try:
+                out = self.segmenter.segment(
+                    image, task, expression=params.get("expression"))
+                return {"error_code": 0, **out}
+            except ValueError as e:
+                return {"error_code": 1, "text": str(e)}
+            finally:
+                self.queue_length -= 1
+
     # -- generation ------------------------------------------------------------
 
     def generate_stream(self, params):
@@ -150,6 +189,13 @@ def make_handler(worker: ModelWorker):
                 for chunk in worker.generate_stream(params):
                     self.wfile.write(chunk)
                     self.wfile.flush()
+            elif self.path == "/worker_segment":
+                body = json.dumps(worker.segment(self._read())).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             elif self.path == "/worker_get_status":
                 body = json.dumps(worker.get_status()).encode()
                 self.send_response(200)

@@ -78,12 +78,13 @@ def parse_args(argv=None):
                    help="stage-1 style: checkpoint only the mm_projector "
                         "(llava_trainer.py:231-256)")
     p.add_argument("--pixel_decoder_mode", default="deformable",
-                   choices=["deformable", "dense"],
-                   help="'dense' (flash attention, 2 heads) trains ~44x "
-                        "faster on TPU (1.2 vs 51 s/step at 1024^2: the "
-                        "deformable gathers' scatter-add backward is "
-                        "loop-bound); 'deformable' is checkpoint-compatible "
-                        "with the reference")
+                   choices=["deformable", "window", "dense"],
+                   help="'window' = deformable math as per-tile MXU matmuls "
+                        "(checkpoint-compatible; exact while offsets stay "
+                        "within ±8 px, clamped beyond). 'dense' (flash "
+                        "attention, 2 heads) is a from-scratch alternative. "
+                        "Both avoid the loop-bound gather/scatter that makes "
+                        "plain 'deformable' 51 s/step at 1024^2 on v5e")
     p.add_argument("--swin_type", default="base")
     p.add_argument("--seed", type=int, default=42)
     return p.parse_args(argv)
@@ -128,11 +129,14 @@ class Trainer:
             cfg = PSALMConfig(
                 seg_task=SegTask(args.seg_task),
                 compute_dtype="bfloat16" if args.bf16 else "float32")
-            if getattr(args, "pixel_decoder_mode", "deformable") == "dense":
+            mode = getattr(args, "pixel_decoder_mode", "deformable")
+            if mode != "deformable":
                 import dataclasses as _dc
+                kw = dict(attention_mode=mode)
+                if mode == "dense":
+                    kw["transformer_nheads"] = 2
                 cfg = cfg.replace(pixel_decoder=_dc.replace(
-                    cfg.pixel_decoder, attention_mode="dense",
-                    transformer_nheads=2))
+                    cfg.pixel_decoder, **kw))
         self.cfg = cfg
         dtype = jnp.bfloat16 if args.bf16 else jnp.float32
         self.model = model or PSALM(self.cfg, dtype=dtype,

@@ -117,3 +117,112 @@ def test_msda_lanes_matches_oracle(seed):
     got = np.asarray(ms_deform_attn_lanes(
         jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(attn)))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def _encoder_case(seed, shapes, max_off, B=2, M=4, D=16, P=4):
+    """Random encoder-style inputs: Q == S, locations = static pixel-center
+    reference points + offsets bounded by max_off target-level pixels."""
+    rng = np.random.default_rng(seed)
+    L = len(shapes)
+    refs = []
+    for (H, W) in shapes:
+        ys = (np.arange(H) + 0.5) / H
+        xs = (np.arange(W) + 0.5) / W
+        gy, gx = np.meshgrid(ys, xs, indexing="ij")
+        refs.append(np.stack([gx.ravel(), gy.ravel()], -1))
+    ref = np.concatenate(refs, 0)
+    S = ref.shape[0]
+    norm = np.array([[w, h] for (h, w) in shapes], np.float32)
+    off = rng.uniform(-max_off, max_off,
+                      size=(B, S, M, L, P, 2)).astype(np.float32)
+    loc = (ref[None, :, None, None, None, :]
+           + off / norm[None, None, None, :, None, :]).astype(np.float32)
+    value = rng.standard_normal((B, S, M, D)).astype(np.float32)
+    attn = rng.uniform(0, 1, size=(B, S, M, L, P)).astype(np.float32)
+    attn /= attn.reshape(B, S, M, -1).sum(-1).reshape(B, S, M, 1, 1)
+    return value, loc, attn
+
+
+@pytest.mark.parametrize("shapes", [((8, 8), (16, 16), (32, 32)),
+                                    ((6, 10), (12, 20), (24, 40))])
+def test_msda_window_matches_oracle_within_radius(shapes):
+    """In-radius offsets: the windowed MXU formulation is exact (incl.
+    zero-padding at image borders — offsets up to R reach out of image
+    at edge tiles)."""
+    from psalm_tpu.ops.msdeform_window import ms_deform_attn_window
+    R = 3.0
+    value, loc, attn = _encoder_case(0, shapes, max_off=R - 0.25)
+    want = np.asarray(ms_deform_attn_xla(
+        jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(attn)))
+    got = np.asarray(ms_deform_attn_window(
+        jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(attn),
+        tile=8, radius=R))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_msda_window_grads_match_oracle():
+    from psalm_tpu.ops.msdeform_window import ms_deform_attn_window
+    shapes = ((4, 4), (8, 8), (16, 16))
+    R = 2.0
+    value, loc, attn = _encoder_case(1, shapes, max_off=R - 0.25, B=1)
+
+    def loss(fn, v, l, a):
+        return jnp.sum(jnp.square(fn(v, shapes, l, a)))
+
+    g_ref = jax.grad(lambda v, l, a: loss(ms_deform_attn_xla, v, l, a),
+                     argnums=(0, 1, 2))(
+        jnp.asarray(value), jnp.asarray(loc), jnp.asarray(attn))
+    g_win = jax.grad(
+        lambda v, l, a: loss(
+            lambda v_, s_, l_, a_: ms_deform_attn_window(
+                v_, s_, l_, a_, tile=8, radius=R), v, l, a),
+        argnums=(0, 1, 2))(
+        jnp.asarray(value), jnp.asarray(loc), jnp.asarray(attn))
+    for a, b in zip(g_ref, g_win):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_msda_window_clamps_beyond_radius():
+    """Out-of-radius offsets: output is finite and equals the oracle run on
+    the clamped locations (clamp = clip offsets to ±R target-level px)."""
+    from psalm_tpu.ops.msdeform_window import ms_deform_attn_window
+    shapes = ((4, 4), (8, 8))
+    R = 2.0
+    value, loc, attn = _encoder_case(2, shapes, max_off=12.0, B=1)
+    got = np.asarray(ms_deform_attn_window(
+        jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(attn),
+        tile=8, radius=R))
+    assert np.isfinite(got).all()
+    # build the explicitly clamped locations and compare to the oracle
+    refs = []
+    for (H, W) in shapes:
+        ys = (np.arange(H) + 0.5) / H
+        xs = (np.arange(W) + 0.5) / W
+        gy, gx = np.meshgrid(ys, xs, indexing="ij")
+        refs.append(np.stack([gx.ravel(), gy.ravel()], -1))
+    ref = np.concatenate(refs, 0)[None, :, None, None, None, :]
+    norm = np.array([[w, h] for (h, w) in shapes], np.float32)
+    npx = norm[None, None, None, :, None, :]
+    off_px = (loc - ref) * npx
+    loc_cl = (ref + np.clip(off_px, -R, R) / npx).astype(np.float32)
+    want = np.asarray(ms_deform_attn_xla(
+        jnp.asarray(value), shapes, jnp.asarray(loc_cl), jnp.asarray(attn)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_msda_window_decoder_fallback():
+    """Q != S falls back to the oracle exactly."""
+    from psalm_tpu.ops.msdeform_window import ms_deform_attn_window
+    rng = np.random.default_rng(3)
+    shapes = ((4, 4), (8, 8))
+    S = sum(h * w for h, w in shapes)
+    B, Q, M, D, L, P = 1, 5, 2, 8, 2, 3
+    value = rng.standard_normal((B, S, M, D)).astype(np.float32)
+    loc = rng.uniform(0, 1, size=(B, Q, M, L, P, 2)).astype(np.float32)
+    attn = rng.uniform(0, 1, size=(B, Q, M, L, P)).astype(np.float32)
+    want = np.asarray(ms_deform_attn_xla(
+        jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(attn)))
+    got = np.asarray(ms_deform_attn_window(
+        jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(attn)))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)

@@ -91,3 +91,33 @@ def test_psalm_forward_region():
     assert out["pred_region_logits"].shape == (1, R, nq)
     assert out["pred_class_name_logits"] is None
     assert np.isfinite(np.asarray(out["pred_region_logits"])).all()
+
+
+def test_pixel_decoder_window_mode_matches_deformable_at_init():
+    """Same params, two attention modes: at init the offset head emits only
+    its bias (zero kernel), whose magnitude is <= n_points < window_radius,
+    so the windowed MXU formulation must reproduce 'deformable' exactly."""
+    import dataclasses
+    from psalm_tpu.config import PixelDecoderConfig
+    from psalm_tpu.models.pixel_decoder import MSDeformAttnPixelDecoder
+
+    rng = np.random.default_rng(0)
+    base = PixelDecoderConfig(conv_dim=32, mask_dim=32,
+                              transformer_enc_layers=2, transformer_nheads=4,
+                              transformer_dim_feedforward=64,
+                              in_channels=(8, 8, 8, 8), window_radius=6.0,
+                              window_tile=8)
+    feats = [jnp.asarray(rng.standard_normal((1, hw, hw, 8)), jnp.float32)
+             for hw in (16, 8, 4, 2)]  # res2..res5
+
+    outs = {}
+    for mode in ("deformable", "window"):
+        cfg = dataclasses.replace(base, attention_mode=mode)
+        mod = MSDeformAttnPixelDecoder(cfg)
+        vars_ = mod.init(jax.random.PRNGKey(0), feats)
+        outs[mode] = mod.apply(vars_, feats)
+
+    for a, b in zip(jax.tree_util.tree_leaves(outs["deformable"]),
+                    jax.tree_util.tree_leaves(outs["window"])):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-5, atol=2e-5)
