@@ -387,14 +387,23 @@ class UnifiedTaskSampler:
     Dataset mixing ratios via list replication (train.py:347)."""
 
     def __init__(self, datasets: Sequence, batch_size: int, ratios=None,
-                 seed: int = 0):
+                 seed: int = 0, shard_index: int = 0, num_shards: int = 1):
+        """shard_index/num_shards: per-host sharding for multi-host training.
+        Every host must construct the sampler with the SAME seed/ratios/
+        batch_size — the task schedule (which dataset serves which batch) is
+        then identical across hosts (the jitted step signature must agree
+        globally), while the sample streams are disjoint: host h consumes
+        positions h, h+num_shards, ... of the shared shuffle order."""
+        assert 0 <= shard_index < num_shards
         self.datasets = []
         ratios = ratios or [1] * len(datasets)
         for ds, r in zip(datasets, ratios):
             self.datasets.extend([ds] * int(r))
         self.batch_size = batch_size
         self.rng = random.Random(seed)
-        self.cursors = [0] * len(self.datasets)
+        self.shard_index = shard_index
+        self.num_shards = num_shards
+        self.cursors = [shard_index] * len(self.datasets)
         self.orders = [self.rng.sample(range(len(ds)), len(ds))
                        for ds in self.datasets]
         self.cur_dataset = 0
@@ -406,11 +415,21 @@ class UnifiedTaskSampler:
     def __next__(self) -> Dict[str, Any]:
         ds_i = self.cur_dataset
         ds = self.datasets[ds_i]
-        if self.cursors[ds_i] >= len(ds):
-            self.orders[ds_i] = self.rng.sample(range(len(ds)), len(ds))
-            self.cursors[ds_i] = 0
-        sample = ds[self.orders[ds_i][self.cursors[ds_i]]]
-        self.cursors[ds_i] += 1
+        L = len(ds)
+        # drop the len % num_shards tail so every shard exhausts the epoch
+        # after exactly L_eff/num_shards draws — the reshuffle below is drawn
+        # from the shared-seed rng at the same global step on every host
+        L_eff = (L // self.num_shards) * self.num_shards
+        if L_eff == 0:
+            # dataset smaller than the host count: shards must overlap
+            sample = ds[self.orders[ds_i][self.cursors[ds_i] % L]]
+            self.cursors[ds_i] += self.num_shards
+        else:
+            if self.cursors[ds_i] >= L_eff:
+                self.orders[ds_i] = self.rng.sample(range(L), L)
+                self.cursors[ds_i] = self.shard_index
+            sample = ds[self.orders[ds_i][self.cursors[ds_i]]]
+            self.cursors[ds_i] += self.num_shards
         self.count_in_batch += 1
         if self.count_in_batch == self.batch_size:
             self.count_in_batch = 0

@@ -76,5 +76,36 @@ def param_shardings(mesh: Mesh, params) -> Any:
     return jax.tree_util.tree_map_with_path(to_sharding, params)
 
 
+def host_shard_info() -> tuple[int, int]:
+    """(shard_index, num_shards) for per-host data loading — feed to
+    UnifiedTaskSampler so each host reads a disjoint sample stream
+    (replaces the reference's DistributedSampler-under-DeepSpeed split)."""
+    return jax.process_index(), jax.process_count()
+
+
+def make_global_batch(mesh: Mesh, local_batch: dict,
+                      batch_axis: str = "data") -> dict:
+    """Assemble per-host arrays into globally-sharded jax.Arrays.
+
+    Each host passes its LOCAL batch (leading dim = per-host batch size);
+    the result is a tree of jax.Arrays with global shape
+    [per_host * num_hosts, ...] sharded over ``batch_axis``. Non-array
+    metadata (dataset_type strings) passes through unchanged. Single-process
+    meshes take the plain device_put path.
+    """
+    sharding = NamedSharding(mesh, P(batch_axis))
+
+    def place(x):
+        if not hasattr(x, "shape") or getattr(x, "ndim", 0) == 0:
+            return x
+        x = np.asarray(x)
+        if jax.process_count() == 1:
+            return jax.device_put(x, sharding)
+        return jax.make_array_from_process_local_data(sharding, x)
+
+    return {k: (v if isinstance(v, str) else place(v))
+            for k, v in local_batch.items()}
+
+
 # ZeRO-style optimizer-state sharding lives in train/train_step.py
 # (opt_state_sharding); this module owns the parameter/TP rules only.

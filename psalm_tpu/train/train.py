@@ -278,7 +278,13 @@ class Trainer:
             batch_np.pop("image_id", None)
             batch_np.pop("resized_hw", None)
             batch_np.pop("original_hw", None)
-            batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+            if self.mesh is not None:
+                # per-host local batch -> globally sharded arrays (each host
+                # feeds its own disjoint sampler shard; see host_shard_info)
+                from psalm_tpu.parallel.mesh import make_global_batch
+                batch = make_global_batch(self.mesh, batch_np)
+            else:
+                batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
 
             if profile_range and step == profile_range[0]:
                 jax.profiler.start_trace(args.output_dir)
@@ -352,8 +358,14 @@ def main(argv=None):
         datasets.append(MMConvDataset(args.mmconv_path, args.image_folder,
                                       tokenizer, dcfg))
         ratios.append(ratio_vals[min(3, len(ratio_vals) - 1)])
+    shard_index, num_shards = 0, 1
+    if jax.process_count() > 1:  # multi-host: disjoint per-host streams
+        from psalm_tpu.parallel.mesh import host_shard_info
+        shard_index, num_shards = host_shard_info()
     sampler = UnifiedTaskSampler(datasets, args.per_device_train_batch_size,
-                                 ratios, seed=args.seed)
+                                 ratios, seed=args.seed,
+                                 shard_index=shard_index,
+                                 num_shards=num_shards)
 
     trainer = Trainer(args, cfg)
     # initialization: converted torch checkpoint or fresh init
