@@ -81,6 +81,9 @@ class PhiConfig:
     # are functional). 0 = disabled.
     lora_rank: int = 0
     lora_alpha: float = 16.0
+    # 0 = full precision; 8 = weight-only int8 linears (bnb load_in_8bit
+    # analog, models/quant.py) — inference + QLoRA-style LoRA finetune
+    quant_bits: int = 0
 
     @property
     def head_dim(self) -> int:

@@ -19,10 +19,18 @@ from psalm_tpu.models.psalm import PSALM
 
 
 def load_pretrained_model(model_path: str, seg_task: SegTask = SegTask.PANOPTIC,
-                          dtype=jnp.float32, cfg: Optional[PSALMConfig] = None
+                          dtype=jnp.float32, cfg: Optional[PSALMConfig] = None,
+                          load_8bit: bool = False
                           ) -> Tuple[Any, PSALM, Any, int]:
-    """Returns (tokenizer, model, variables, context_len)."""
+    """Returns (tokenizer, model, variables, context_len).
+
+    load_8bit: weight-only int8 Phi linears (the reference's bitsandbytes
+    load_8bit flag, psalm/model/builder.py:35-44; ours is models/quant.py).
+    """
     cfg = cfg or PSALMConfig(seg_task=seg_task)
+    if load_8bit and cfg.phi.quant_bits != 8:
+        import dataclasses
+        cfg = cfg.replace(phi=dataclasses.replace(cfg.phi, quant_bits=8))
     model = PSALM(cfg, dtype=dtype)
 
     variables = None
@@ -37,6 +45,9 @@ def load_pretrained_model(model_path: str, seg_task: SegTask = SegTask.PANOPTIC,
                                                       load_torch_state_dict)
             sd = load_torch_state_dict(model_path)
             variables = convert_psalm_checkpoint(sd, cfg)
+        if load_8bit:
+            from psalm_tpu.models.quant import quantize_phi_int8
+            variables = quantize_phi_int8(variables)
         variables = jax.tree.map(jnp.asarray, variables)
 
     tokenizer = None

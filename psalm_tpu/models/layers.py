@@ -85,11 +85,17 @@ class LoRADense(nn.Module):
     alpha: float = 16.0
     use_bias: bool = True
     dtype: Any = jnp.float32
+    quant_bits: int = 0  # 8 = int8 base kernel (QLoRA-style)
 
     @nn.compact
     def __call__(self, x):
-        base = nn.Dense(self.features, use_bias=self.use_bias,
-                        dtype=self.dtype, name="base")(x)
+        if self.quant_bits == 8:
+            from psalm_tpu.models.quant import QuantDense
+            base = QuantDense(self.features, use_bias=self.use_bias,
+                              dtype=self.dtype, name="base")(x)
+        else:
+            base = nn.Dense(self.features, use_bias=self.use_bias,
+                            dtype=self.dtype, name="base")(x)
         a = self.param("lora_A", nn.initializers.normal(0.02),
                        (x.shape[-1], self.rank))
         b = self.param("lora_B", nn.initializers.zeros,

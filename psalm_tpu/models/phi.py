@@ -32,9 +32,13 @@ from psalm_tpu.models.layers import LoRADense
 
 
 def _dense(cfg: PhiConfig, features, dtype, name):
+    qb = getattr(cfg, "quant_bits", 0)
     if cfg.lora_rank > 0:
         return LoRADense(features, cfg.lora_rank, cfg.lora_alpha,
-                         dtype=dtype, name=name)
+                         dtype=dtype, quant_bits=qb, name=name)
+    if qb == 8:
+        from psalm_tpu.models.quant import QuantDense
+        return QuantDense(features, dtype=dtype, name=name)
     import flax.linen as _nn
     return _nn.Dense(features, dtype=dtype, name=name)
 

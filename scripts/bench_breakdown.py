@@ -10,7 +10,13 @@ from psalm_tpu.models.psalm import PSALM
 from psalm_tpu.eval.postprocess import panoptic_inference
 import __graft_entry__ as ge
 
+import os
+import dataclasses
 cfg = PSALMConfig(compute_dtype="bfloat16")
+mode = os.environ.get("PSALM_BENCH_PIXDEC_MODE", "window")
+if mode != "deformable":
+    cfg = cfg.replace(pixel_decoder=dataclasses.replace(
+        cfg.pixel_decoder, attention_mode=mode))
 K = cfg.num_classes + 1
 model = PSALM(cfg, dtype=jnp.bfloat16)
 batch = ge._panoptic_batch(cfg, B=1, num_classes=K)
@@ -18,13 +24,23 @@ params = jax.jit(lambda r, b: model.init(r, b, use_class_names=True,
                                          num_class_names=K))(
     jax.random.PRNGKey(0), batch)
 
+def _sync(out):
+    # block_until_ready is unreliable on the axon remote backend; a host
+    # reduction is the honest sync. One leaf is enough: each timed stage is
+    # a single XLA executable, whose outputs materialize together.
+    for leaf in jax.tree.leaves(out):
+        if hasattr(leaf, "dtype"):
+            float(jnp.sum(leaf.astype(jnp.float32)))
+            return
+
+
 def timed(name, fn, *args, iters=6):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-        jax.block_until_ready(out)
+        _sync(out)
     dt = (time.perf_counter() - t0) / iters
     print(f"{name:28s} {dt*1000:8.1f} ms")
     return out

@@ -1,0 +1,102 @@
+"""Weight-only int8 load (bnb load_in_8bit analog, models/quant.py):
+quantize-then-apply accuracy, QLoRA composition with the finetune mask, and
+the builder flag."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from psalm_tpu.config import tiny_test_config
+from psalm_tpu.models.phi import PhiModel
+from psalm_tpu.models.quant import (QUANT_LAYER_NAMES, quantize_kernel,
+                                    quantize_phi_int8)
+
+
+def _phi_setup(lora_rank=0, quant=False, seed=0):
+    cfg = tiny_test_config().phi
+    cfg = dataclasses.replace(cfg, lora_rank=lora_rank,
+                              quant_bits=8 if quant else 0)
+    model = PhiModel(cfg)
+    rng = np.random.RandomState(seed)
+    x = jnp.asarray(rng.randn(1, 12, cfg.hidden_size) * 0.5, jnp.float32)
+    mask = jnp.ones((1, 12), jnp.int32)
+    return cfg, model, x, mask
+
+
+def test_quantize_kernel_roundtrip_error_bounded():
+    rng = np.random.RandomState(0)
+    k = rng.randn(64, 32).astype(np.float32)
+    q, scale = quantize_kernel(k)
+    assert q.dtype == np.int8 and scale.shape == (32,)
+    deq = q.astype(np.float32) * scale[None, :]
+    # symmetric 127-level quantization: |err| <= scale/2 per element
+    assert (np.abs(deq - k) <= scale[None, :] * 0.5 + 1e-7).all()
+
+
+def test_phi_int8_forward_close_to_fp32():
+    _, model, x, mask = _phi_setup()
+    variables = model.init(jax.random.PRNGKey(0), inputs_embeds=x,
+                           attention_mask=mask)
+    want = model.apply(variables, inputs_embeds=x, attention_mask=mask)[0]
+
+    qcfg, qmodel, _, _ = _phi_setup(quant=True)
+    qvars = quantize_phi_int8({"params": {"phi": variables["params"]}})
+    got = qmodel.apply({"params": qvars["params"]["phi"]}, inputs_embeds=x,
+                       attention_mask=mask)[0]
+    rel = float(jnp.abs(got - want).max() / (jnp.abs(want).max() + 1e-9))
+    assert rel < 0.05, rel
+    # and it is genuinely int8 underneath
+    leaf = qvars["params"]["phi"]["layers_0"]["self_attn"]["q_proj"]
+    assert leaf["kernel_q"].dtype == jnp.int8
+    assert "kernel" not in leaf
+
+
+def test_qlora_structure_and_finetune_partition():
+    """Quantized base + LoRA adapters: adapters train, int8 base freezes."""
+    from psalm_tpu.train.lora import partition_params, psalm_finetune_mask
+
+    cfg, model, x, mask = _phi_setup(lora_rank=4, quant=True)
+    variables = model.init(jax.random.PRNGKey(0), inputs_embeds=x,
+                           attention_mask=mask)
+    node = variables["params"]["layers_0"]["self_attn"]["q_proj"]
+    assert set(node) == {"base", "lora_A", "lora_B"}
+    assert node["base"]["kernel_q"].dtype == jnp.int8
+
+    tree = {"phi": variables["params"]}
+    mask_tree = psalm_finetune_mask(tree)
+    trainable, frozen = partition_params(tree, mask_tree)
+    flat_tr = {jax.tree_util.keystr(kp): v
+               for kp, v in jax.tree_util.tree_flatten_with_path(trainable)[0]}
+    assert flat_tr and all("lora" in k for k in flat_tr), list(flat_tr)[:3]
+    assert any(v.dtype == jnp.int8 for v in jax.tree.leaves(frozen))
+    # grads flow through the quantized base into the adapters
+    def loss(tr):
+        from psalm_tpu.train.lora import combine_params
+        p = combine_params(tr, frozen)
+        out = model.apply({"params": p["phi"]}, inputs_embeds=x,
+                          attention_mask=mask)[0]
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+    g = jax.grad(loss)(trainable)
+    gn = sum(float(jnp.abs(v).sum()) for v in jax.tree.leaves(g))
+    assert np.isfinite(gn)
+
+
+def test_builder_load_8bit(tmp_path):
+    from test_convert import synthetic_torch_sd
+    import torch
+    from psalm_tpu.models.builder import load_pretrained_model
+
+    cfg = tiny_test_config()
+    sd = {k: torch.from_numpy(np.asarray(v)) for k, v in
+          synthetic_torch_sd(cfg, np.random.default_rng(0)).items()}
+    torch.save(sd, str(tmp_path / "pytorch_model.bin"))
+    _, model, variables, _ = load_pretrained_model(str(tmp_path), cfg=cfg,
+                                                   load_8bit=True)
+    assert model.cfg.phi.quant_bits == 8
+    q = variables["params"]["phi"]["model"]["layers_0"]["self_attn"]["q_proj"]
+    assert q["kernel_q"].dtype == jnp.int8
+    # embeddings and lm_head stay full precision
+    assert variables["params"]["phi"]["lm_head"]["kernel"].dtype != jnp.int8
