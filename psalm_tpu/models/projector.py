@@ -64,3 +64,53 @@ class ResNetSwinProjector(nn.Module):
         B, H, W, C = out.shape
         out = out.reshape(B, H * W, C)
         return nn.Dense(c.out_dim, dtype=self.dtype, name="fc")(out)
+
+
+class LinearProjector(nn.Module):
+    """projector_type='linear' (multimodal_projector/builder.py:407-408):
+    one Linear from the flattened vision features to LLM dim."""
+
+    cfg: ProjectorConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        B = feats.shape[0]
+        x = feats.reshape(B, -1, feats.shape[-1])
+        return nn.Dense(self.cfg.out_dim, dtype=self.dtype, name="fc")(x)
+
+
+class MLPProjector(nn.Module):
+    """projector_type='mlpNx_gelu' (builder.py:426-433): Linear + (N-1) x
+    [GELU, Linear]."""
+
+    cfg: ProjectorConfig
+    depth: int = 2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        B = feats.shape[0]
+        x = feats.reshape(B, -1, feats.shape[-1])
+        x = nn.Dense(self.cfg.out_dim, dtype=self.dtype, name="fc_0")(x)
+        for i in range(1, self.depth):
+            x = nn.gelu(x, approximate=False)
+            x = nn.Dense(self.cfg.out_dim, dtype=self.dtype,
+                         name=f"fc_{i}")(x)
+        return x
+
+
+def build_projector(cfg: ProjectorConfig, dtype: Any = jnp.float32,
+                    name: str = "mm_projector"):
+    """Projector factory mirroring build_vision_projector
+    (builder.py:405-433): swin_conv (PSALM default) | linear | mlpNx_gelu."""
+    import re
+    t = cfg.projector_type
+    if t == "swin_conv":
+        return ResNetSwinProjector(cfg, dtype=dtype, name=name)
+    if t == "linear":
+        return LinearProjector(cfg, dtype=dtype, name=name)
+    m = re.match(r"^mlp(\d+)x_gelu$", t)
+    if m:
+        return MLPProjector(cfg, depth=int(m.group(1)), dtype=dtype, name=name)
+    raise ValueError(f"unknown projector_type {t!r}")

@@ -31,7 +31,7 @@ from psalm_tpu.data.constants import SRC_IMAGE, SRC_REGION, SRC_SEG_QUERY, SRC_T
 from psalm_tpu.models.mask_decoder import MaskDecoder
 from psalm_tpu.models.phi import PhiForCausalLM
 from psalm_tpu.models.pixel_decoder import MSDeformAttnPixelDecoder
-from psalm_tpu.models.projector import ResNetSwinProjector
+from psalm_tpu.models.projector import build_projector
 from psalm_tpu.models.swin import SwinTransformer
 from psalm_tpu.ops.sampling import point_sample
 
@@ -70,7 +70,8 @@ class PSALM(nn.Module):
     def setup(self):
         c = self.cfg
         self.vision_tower = SwinTransformer(c.swin, dtype=self.dtype)
-        self.mm_projector = ResNetSwinProjector(c.projector, dtype=self.dtype)
+        self.mm_projector = build_projector(c.projector, dtype=self.dtype,
+                                            name=None)
         self.phi = PhiForCausalLM(c.phi, dtype=self.dtype, remat=self.remat,
                                   use_flash=self.use_flash)
         self.pixel_decoder = MSDeformAttnPixelDecoder(c.pixel_decoder,

@@ -130,6 +130,7 @@ def ms_deform_attn_window(
     *,
     tile: int = 16,
     radius: float = 8.0,
+    head_chunk: int = 1,
 ) -> jnp.ndarray:
     """Windowed MSDeformAttn. Same signature/convention as ms_deform_attn_xla
     (value [B,S,M,D], locations [B,Q,M,L,P,2] in [0,1], weights [B,Q,M,L,P]);
@@ -201,19 +202,29 @@ def ms_deform_attn_window(
             sx_b = jnp.asarray(starts[:, 1])[None, :, None, None]
             sy_b = jnp.asarray(starts[:, 0])[None, :, None, None]
 
-            def head_body(ops, wh=wh, ww=ww, nq=nq, Hv=Hv, Wv=Wv):
-                xh_, yh_, awh_, wn = ops
+            hc = max(1, min(head_chunk, M))
+            while M % hc:
+                hc -= 1
+
+            def head_body(ops, wh=wh, ww=ww, nq=nq, Hv=Hv, Wv=Wv, hc=hc):
+                xh_, yh_, awh_, wn = ops  # leading dim hc
                 Ay = _axis_weights(yh_, ry, sy_b, wh, Hv, radius,
-                                   None, dt).reshape(B, T, nq * P, wh)
+                                   None, dt).reshape(hc, B, T, nq * P, wh)
                 Ax = _axis_weights(xh_, rx, sx_b, ww, Wv, radius,
                                    awh_.astype(dt), dt).reshape(
-                    B, T, nq * P, ww)
+                    hc, B, T, nq * P, ww)
                 # contract wh first (window already [wh, ww*D]-contiguous)
-                t1 = jnp.einsum("btsh,bthk->btsk", Ay, wn)
-                t1 = t1.reshape(B, T, nq * P, ww, D)
-                return jnp.einsum("btsw,btswd->btsd", Ax, t1)
+                t1 = jnp.einsum("cbtsh,cbthk->cbtsk", Ay, wn)
+                t1 = t1.reshape(hc, B, T, nq * P, ww, D)
+                return jnp.einsum("cbtsw,cbtswd->cbtsd", Ax, t1)
 
-            outh = jax.lax.map(jax.checkpoint(head_body), (xh, yh, awh, win))
+            def chunked(a):
+                return a.reshape((M // hc, hc) + a.shape[1:])
+
+            outh = jax.lax.map(jax.checkpoint(head_body),
+                               (chunked(xh), chunked(yh), chunked(awh),
+                                chunked(win)))
+            outh = outh.reshape((M,) + outh.shape[2:])
             contrib = outh.reshape(M, B, T, nq, P, D).sum(4)  # [M,B,T,nq,D]
             acc = contrib if acc is None else acc + contrib
 

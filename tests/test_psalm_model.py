@@ -121,3 +121,21 @@ def test_pixel_decoder_window_mode_matches_deformable_at_init():
                     jax.tree_util.tree_leaves(outs["window"])):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_projector_variants():
+    """build_vision_projector parity (builder.py:405-433): linear and
+    mlpNx_gelu variants beside the PSALM-default swin_conv."""
+    from psalm_tpu.config import ProjectorConfig
+    from psalm_tpu.models.projector import build_projector
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((1, 4, 4, 16)),
+                    jnp.float32)
+    for t, n_tokens in (("linear", 16), ("mlp3x_gelu", 16), ("swin_conv", 4)):
+        cfg = ProjectorConfig(projector_type=t, input_dim=16, out_dim=8)
+        m = build_projector(cfg)
+        y = m.apply(m.init(jax.random.PRNGKey(0), x), x)
+        assert y.shape == (1, n_tokens, 8)
+    import pytest
+    with pytest.raises(ValueError, match="unknown projector_type"):
+        build_projector(ProjectorConfig(projector_type="conv9"))
