@@ -98,28 +98,37 @@ def _ref_grid(Hq: int, Wq: int, thq: int, twq: int, Hv: int, Wv: int):
     return tilefy(gy), tilefy(gx)
 
 
-def _axis_weights(coord, ref, st, w_sz, n_v, radius, fold, dt):
-    """Per-axis 2-tap bilinear weight matrix A [..., w_sz].
+def _axis_taps(coord, ref, st, w_sz, n_v, radius, dt):
+    """Per-axis 2-tap stencil: (l0, l1 [..] int32 in [0, w_sz-1], w0, w1).
 
-    coord/ref/st/fold broadcast together (st = window starts). Offsets are
+    coord/ref/st broadcast together (st = window starts). Offsets are
     clamped to ±radius around ref; corner validity uses global coords so
-    border zero-padding matches the oracle exactly.
+    border zero-padding matches the oracle exactly — invalid corners carry
+    zero weight and every VALID corner provably lies in-window (module
+    docstring), so the per-tap index clips never move a live tap. The two
+    indices clip independently: at a clipped (image-edge) window a valid
+    corner0 may legitimately sit at position w_sz-1 while corner1 is
+    off-image with zero weight.
     """
     c = ref + jnp.clip(coord - ref, -radius, radius)
     c0 = jnp.floor(c)
     frac = (c - c0).astype(dt)
     c0i = c0.astype(jnp.int32)
-    A = None
-    for d in (0, 1):
-        ci = c0i + d
-        valid = ((ci >= 0) & (ci < n_v)).astype(dt)
-        li = jnp.clip(ci - st, 0, w_sz - 1)
-        wgt = (frac if d else (1.0 - frac)) * valid
-        if fold is not None:
-            wgt = wgt * fold
-        term = wgt[..., None] * jax.nn.one_hot(li, w_sz, dtype=dt)
-        A = term if A is None else A + term
-    return A
+    v0 = ((c0i >= 0) & (c0i < n_v)).astype(dt)
+    v1 = ((c0i + 1 >= 0) & (c0i + 1 < n_v)).astype(dt)
+    l0 = jnp.clip(c0i - st, 0, w_sz - 1)
+    l1 = jnp.clip(c0i + 1 - st, 0, w_sz - 1)
+    return l0, l1, (1.0 - frac) * v0, frac * v1
+
+
+def _axis_weights(coord, ref, st, w_sz, n_v, radius, fold, dt):
+    """Per-axis 2-tap bilinear weight matrix A [..., w_sz] (XLA path)."""
+    l0, l1, w0, w1 = _axis_taps(coord, ref, st, w_sz, n_v, radius, dt)
+    if fold is not None:
+        w0 = w0 * fold
+        w1 = w1 * fold
+    return (w0[..., None] * jax.nn.one_hot(l0, w_sz, dtype=dt)
+            + w1[..., None] * jax.nn.one_hot(l1, w_sz, dtype=dt))
 
 
 def ms_deform_attn_window(
