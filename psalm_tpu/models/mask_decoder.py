@@ -45,7 +45,7 @@ class CrossAttentionLayer(nn.Module):
         out = MultiheadAttention(self.dim, self.nheads, dtype=self.dtype,
                                  name="multihead_attn")(
             tgt + query_pos, memory + pos, memory, attn_bias)
-        return nn.LayerNorm(dtype=jnp.float32, name="norm")(tgt + out)
+        return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(tgt + out)
 
 
 class SelfAttentionLayer(nn.Module):
@@ -58,7 +58,7 @@ class SelfAttentionLayer(nn.Module):
         out = MultiheadAttention(self.dim, self.nheads, dtype=self.dtype,
                                  name="self_attn")(
             tgt + query_pos, tgt + query_pos, tgt, None)
-        return nn.LayerNorm(dtype=jnp.float32, name="norm")(tgt + out)
+        return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(tgt + out)
 
 
 class FFNLayer(nn.Module):
@@ -71,7 +71,7 @@ class FFNLayer(nn.Module):
         x = nn.Dense(self.dim_feedforward, dtype=self.dtype, name="linear1")(tgt)
         x = nn.relu(x)
         x = nn.Dense(self.dim, dtype=self.dtype, name="linear2")(x)
-        return nn.LayerNorm(dtype=jnp.float32, name="norm")(tgt + x)
+        return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(tgt + x)
 
 
 class MaskDecoder(nn.Module):
@@ -100,7 +100,7 @@ class MaskDecoder(nn.Module):
         self.ffn_layers = [FFNLayer(c.hidden_dim, c.dim_feedforward,
                                     dtype=self.dtype, name=f"ffn_{i}")
                            for i in range(c.dec_layers)]
-        self.decoder_norm = nn.LayerNorm(dtype=jnp.float32)
+        self.decoder_norm = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)
         self.mask_embed = MLP(c.hidden_dim, c.mask_dim, 3, dtype=self.dtype,
                               name="mask_embed")
         self.SEG_proj = MLP(c.hidden_dim, c.hidden_dim, 2, dtype=self.dtype,
@@ -255,7 +255,10 @@ class MaskDecoder(nn.Module):
             ext = self.self_layers[i](ext, query_pos)
             ext = self.ffn_layers[i](ext)
             output = ext[:, 1:]
-            seg_emb = ext[:, :1]
+            # reference quirk (:568-569): after stripping the [SEG] row the
+            # refreshed SEG_embedding is output[0] — the FIRST QUERY row of
+            # the stripped tensor, not the [SEG] row. Kept for parity.
+            seg_emb = output[:, :1]
             SEG_cls, name_cls, masks, attn_bias, region_cls = heads(
                 output, (i + 1) % c.num_feature_levels, seg_emb)
             preds.append((SEG_cls, name_cls, masks, region_cls))

@@ -165,12 +165,12 @@ class EncoderLayer(nn.Module):
                 window_tile=getattr(c, "window_tile", 16),
                 name="self_attn")(
                 src + pos, src, reference_points, spatial_shapes)
-        src = nn.LayerNorm(dtype=jnp.float32, name="norm1")(src + src2)
+        src = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(src + src2)
         ffn = nn.Dense(c.transformer_dim_feedforward, dtype=self.dtype,
                        name="linear1")(src)
         ffn = nn.relu(ffn)
         ffn = nn.Dense(c.conv_dim, dtype=self.dtype, name="linear2")(ffn)
-        return nn.LayerNorm(dtype=jnp.float32, name="norm2")(src + ffn)
+        return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(src + ffn)
 
 
 class MSDeformAttnPixelDecoder(nn.Module):
@@ -196,7 +196,7 @@ class MSDeformAttnPixelDecoder(nn.Module):
             B, H, W, _ = x.shape
             y = nn.Conv(c.conv_dim, (1, 1), dtype=self.dtype,
                         name=f"input_proj_{i}_conv")(x)
-            y = nn.GroupNorm(num_groups=32, dtype=jnp.float32,
+            y = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=jnp.float32,
                              name=f"input_proj_{i}_norm")(y)
             pos = position_embedding_sine(H, W, c.conv_dim // 2, dtype=jnp.float32)
             pos = jnp.broadcast_to(pos[None], (B, H, W, c.conv_dim))
@@ -226,7 +226,7 @@ class MSDeformAttnPixelDecoder(nn.Module):
         # FPN: fuse res2 (msdeformattn.py:300-308)
         lateral = nn.Conv(c.conv_dim, (1, 1), dtype=self.dtype,
                           name="adapter_1_conv")(res2)
-        lateral = nn.GroupNorm(num_groups=32, dtype=jnp.float32,
+        lateral = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=jnp.float32,
                                name="adapter_1_norm")(lateral)
         lateral = nn.relu(lateral)
         up = resize_bilinear(out[-1].astype(jnp.float32),
@@ -234,7 +234,7 @@ class MSDeformAttnPixelDecoder(nn.Module):
         y = lateral + up
         y = nn.Conv(c.conv_dim, (3, 3), padding=((1, 1), (1, 1)),
                     dtype=self.dtype, name="layer_1_conv")(y)
-        y = nn.GroupNorm(num_groups=32, dtype=jnp.float32, name="layer_1_norm")(y)
+        y = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=jnp.float32, name="layer_1_norm")(y)
         y = nn.relu(y)
         out.append(y)
 

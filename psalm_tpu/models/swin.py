@@ -140,7 +140,7 @@ class SwinBlock(nn.Module):
         B, L, C = x.shape
         ws = self.window_size
         shortcut = x
-        x = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x)
         x = x.reshape(B, H, W, C)
 
         pad_b = (ws - H % ws) % ws
@@ -167,7 +167,7 @@ class SwinBlock(nn.Module):
         x = x.reshape(B, H * W, C)
 
         x = shortcut + self._drop_path(x, deterministic)
-        y = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x)
         y = nn.Dense(int(C * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(y)
         y = jax.nn.gelu(y, approximate=False)
         y = nn.Dense(C, dtype=self.dtype, name="mlp_fc2")(y)
@@ -198,7 +198,7 @@ class PatchMerging(nn.Module):
         x3 = x[:, 1::2, 1::2]
         x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
         x = x.reshape(B, -1, 4 * C)
-        x = nn.LayerNorm(dtype=jnp.float32, name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(x)
         return nn.Dense(2 * C, use_bias=False, dtype=self.dtype, name="reduction")(x)
 
 
@@ -220,7 +220,7 @@ class SwinTransformer(nn.Module):
         Wh, Ww = x.shape[1], x.shape[2]
         x = x.reshape(B, Wh * Ww, c.embed_dim)
         if c.patch_norm:
-            x = nn.LayerNorm(dtype=jnp.float32, name="patch_embed_norm")(x)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="patch_embed_norm")(x)
 
         dpr = np.linspace(0, c.drop_path_rate, sum(c.depths))
         outs = []
@@ -238,7 +238,7 @@ class SwinTransformer(nn.Module):
                 )(x, Wh, Ww, deterministic)
             cur += depth
             if i in c.out_indices:
-                y = nn.LayerNorm(dtype=jnp.float32, name=f"norm{i}")(x)
+                y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name=f"norm{i}")(x)
                 outs.append(y.reshape(B, Wh, Ww, dims[i]))
             if i < len(c.depths) - 1:
                 x = PatchMerging(dims[i], dtype=self.dtype,

@@ -38,6 +38,17 @@ from psalm_tpu.config import LossConfig
 from psalm_tpu.ops.sampling import point_sample
 
 
+# Uniform-draw hook: golden-parity tests inject a fixed point set shared
+# with the reference criterion (whose draws come from torch.rand); production
+# path is plain jax.random.uniform.
+_uniform = jax.random.uniform
+
+
+def set_uniform_fn(fn=None) -> None:
+    global _uniform
+    _uniform = fn if fn is not None else jax.random.uniform
+
+
 # ---------------------------------------------------------------------------
 # batched cost kernels (matcher.py:16-66) — [Q, P] x [N, P] -> [Q, N]
 
@@ -137,14 +148,14 @@ def uncertain_point_coords(rng: jax.Array, logits_fn, num_points: int,
     """
     n_sampled = int(num_points * oversample_ratio)
     k1, k2 = jax.random.split(rng)
-    coords = jax.random.uniform(k1, (batch, n_sampled, 2))
+    coords = _uniform(k1, (batch, n_sampled, 2))
     logits = logits_fn(coords)
     uncertainty = -jnp.abs(logits)
     n_unc = int(importance_sample_ratio * num_points)
     n_rand = num_points - n_unc
     _, idx = jax.lax.top_k(uncertainty, n_unc)
     top_coords = jnp.take_along_axis(coords, idx[..., None], axis=1)
-    rand_coords = jax.random.uniform(k2, (batch, n_rand, 2))
+    rand_coords = _uniform(k2, (batch, n_rand, 2))
     return jnp.concatenate([top_coords, rand_coords], axis=1)
 
 
@@ -190,7 +201,7 @@ class PSALMCriterion:
         # masks are sampled in ONE gather by stacking them on the channel
         # axis — 100x fewer gather rows than per-mask sampling on the
         # loop-bound TPU gather.
-        coords = jax.random.uniform(rng, (B, c.train_num_points, 2))
+        coords = _uniform(rng, (B, c.train_num_points, 2))
 
         pred_chan = jnp.transpose(pred_masks, (0, 2, 3, 1))  # [B, h, w, Q]
         out_pts = jnp.transpose(point_sample(pred_chan, coords,
@@ -247,13 +258,13 @@ class PSALMCriterion:
             k1, k2 = jax.random.split(rng)
             pred_chan = jnp.transpose(src_masks, (0, 2, 3, 1))  # [B, h, w, N]
             tgt_chan = jnp.transpose(tgt_masks, (0, 2, 3, 1))
-            probe = jax.random.uniform(k1, (B, n_sampled, 2))
+            probe = _uniform(k1, (B, n_sampled, 2))
             logits0 = point_sample(pred_chan, probe)  # [B, S, N]
             unc = jnp.max(jnp.where(valid[:, None, :], -jnp.abs(logits0),
                                     -jnp.inf), axis=-1)  # [B, S]
             _, idx = jax.lax.top_k(unc, n_unc)
             top = jnp.take_along_axis(probe, idx[..., None], axis=1)
-            rand = jax.random.uniform(k2, (B, P - n_unc, 2))
+            rand = _uniform(k2, (B, P - n_unc, 2))
             coords = jax.lax.stop_gradient(
                 jnp.concatenate([top, rand], axis=1))  # [B, P, 2]
             point_logits = jnp.transpose(
