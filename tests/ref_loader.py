@@ -30,7 +30,9 @@ REF_ROOT = "/root/reference"
 
 
 def _module(name):
+    import importlib.machinery
     m = types.ModuleType(name)
+    m.__spec__ = importlib.machinery.ModuleSpec(name, None, is_package=True)
     sys.modules[name] = m
     return m
 
@@ -273,13 +275,45 @@ def _install_detectron2():
     d2.data = data
     transforms = _module("detectron2.data.transforms")
     data.transforms = transforms
-    # mapper classes reference these at call time only
+    # mapper __init__ constructs these; they are only *applied* per-sample
+    class _DummyTransform:
+        def __init__(self, *a, **k):
+            pass
+
     for name in ("ResizeShortestEdge", "FixedSizeCrop", "RandomFlip",
-                 "apply_transform_gens", "AugmentationList", "AugInput"):
-        setattr(transforms, name, None)
+                 "AugmentationList", "AugInput"):
+        setattr(transforms, name, _DummyTransform)
+    transforms.apply_transform_gens = None
     data.detection_utils = _module("detectron2.data.detection_utils")
+    sys.modules["detectron2.data.detection_utils"] = data.detection_utils
     data.MetadataCatalog = None
     data.DatasetCatalog = None
+
+    config = _module("detectron2.config")
+    d2.config = config
+
+    def configurable(init_func=None, *, from_config=None):
+        if init_func is not None:
+            return init_func
+        return lambda f: f
+
+    config.configurable = configurable
+
+
+def _install_pycocotools():
+    """Raise-on-call stub: the mapper modules import encode/decode at module
+    scope but only call them per-sample; the spine golden feeds tensors
+    directly."""
+    pc = _module("pycocotools")
+    mask = _module("pycocotools.mask")
+    pc.mask = mask
+
+    def _unavailable(*a, **k):
+        raise NotImplementedError("pycocotools stubbed in golden tests")
+
+    mask.encode = _unavailable
+    mask.decode = _unavailable
+    mask.frPyObjects = _unavailable
 
 
 def install_shims():
@@ -291,6 +325,7 @@ def install_shims():
     _install_torchvision()
     _install_msda_stub()
     _install_detectron2()
+    _install_pycocotools()
 
     # register the reference root + namespace packages that bypass the heavy
     # psalm.model __init__ (which imports the whole PSALM model eagerly)

@@ -265,3 +265,320 @@ def test_golden_pixel_decoder():
         np.testing.assert_allclose(
             np.asarray(j), _np(t).transpose(0, 2, 3, 1),
             err_msg=f"multi_scale[{i}]", **tol)
+
+
+# ---------------------------------------------------------------------------
+# 6. Criterion (Hungarian matching + all five loss kinds + deep supervision)
+#
+# Randomness on both sides is pinned to the same fixed point sets: the
+# reference draws via torch.rand at three call sites distinguishable by
+# their trailing (#points, 2) shape (matcher pretrain_criterion.py:422,
+# probe/random draws point_features.py:56/77), our criterion via the
+# set_uniform_fn hook. The bases are constant across leading (mask) rows, so
+# the reference's query-index mask ordering vs our target-index ordering
+# cannot change the per-mask point selection or the summed losses.
+
+
+def test_golden_criterion():
+    crit_mod = load_ref(
+        "psalm.model.mask_decoder.mask_criterion.pretrain_criterion")
+    torch.manual_seed(4)
+    NUM_PTS, OVER, IMP = 16, 3.0, 0.75
+    N_SAMPLED = int(NUM_PTS * OVER)             # 48
+    N_RAND = NUM_PTS - int(IMP * NUM_PTS)       # 4
+    rng = np.random.default_rng(5)
+    bases = {NUM_PTS: rng.uniform(size=(NUM_PTS, 2)).astype(np.float32),
+             N_SAMPLED: rng.uniform(size=(N_SAMPLED, 2)).astype(np.float32),
+             N_RAND: rng.uniform(size=(N_RAND, 2)).astype(np.float32)}
+
+    real_rand = torch.rand
+
+    def fixed_rand(*shape, **kw):
+        if len(shape) == 1 and isinstance(shape[0], (tuple, list)):
+            shape = tuple(shape[0])
+        if len(shape) == 3 and shape[-1] == 2 and shape[-2] in bases:
+            t = torch.from_numpy(bases[shape[-2]])
+            return t.expand(shape[0], *t.shape).clone()
+        return real_rand(*shape, **kw)
+
+    B, Q, K, N, hw, HW = 2, 10, 5, 3, 8, 16
+    out_np = {
+        "pred_masks": rng.standard_normal((B, Q, hw, hw)).astype(np.float32),
+        "pred_SEG_logits": rng.standard_normal((B, Q, 1)).astype(np.float32),
+        "pred_class_name_logits":
+            rng.standard_normal((B, Q, K)).astype(np.float32),
+        "pred_region_logits":
+            rng.standard_normal((B, N, Q)).astype(np.float32),
+    }
+    aux_np = {k: rng.standard_normal(v.shape).astype(np.float32)
+              for k, v in out_np.items()}
+    gt_masks = (rng.uniform(size=(B, N, HW, HW)) > 0.6).astype(np.float32)
+    gt_labels = rng.integers(0, K - 1, size=(B, N))
+
+    # ---- reference
+    matcher = crit_mod.hungarian_matcher_PSALM(
+        cost_class=2.0, cost_mask=5.0, cost_dice=5.0, num_points=NUM_PTS)
+    ref = crit_mod.PSALM_criterion(
+        matcher=matcher,
+        losses=["SEG_labels", "class_name_labels", "masks", "region_labels"],
+        num_points=NUM_PTS, oversample_ratio=OVER,
+        importance_sample_ratio=IMP, device="cpu")
+    t_outputs = {k: torch.from_numpy(v) for k, v in out_np.items()
+                 if k != "pred_region_logits"}
+    t_outputs["pred_region_logits"] = [
+        torch.from_numpy(out_np["pred_region_logits"][b]) for b in range(B)]
+    t_aux = {k: torch.from_numpy(v) for k, v in aux_np.items()
+             if k != "pred_region_logits"}
+    t_aux["pred_region_logits"] = [
+        torch.from_numpy(aux_np["pred_region_logits"][b]) for b in range(B)]
+    t_outputs["aux_outputs"] = [t_aux]
+    t_targets = [{"labels": torch.from_numpy(gt_labels[b]),
+                  "masks": torch.from_numpy(gt_masks[b])} for b in range(B)]
+    torch.rand = fixed_rand
+    try:
+        with torch.no_grad():
+            t_losses = ref(t_outputs, t_targets)
+    finally:
+        torch.rand = real_rand
+
+    def t_total(key):
+        return float(t_losses[key]) + float(t_losses[key + "_0"])
+
+    # ---- ours
+    from psalm_tpu.train.criterion import (PSALMCriterion, set_assign_impl,
+                                           set_uniform_fn)
+
+    def fixed_uniform(key, shape, *a, **k):
+        assert shape[-1] == 2 and shape[-2] in bases, shape
+        return jnp.broadcast_to(jnp.asarray(bases[shape[-2]]), shape)
+
+    cfg = LossConfig(train_num_points=NUM_PTS, oversample_ratio=OVER,
+                     importance_sample_ratio=IMP)
+    crit = PSALMCriterion(cfg, Q, per_mask_uncertainty=True)
+    j_outputs = {k: jnp.asarray(v) for k, v in out_np.items()}
+    j_outputs["aux_outputs"] = [
+        {k: jnp.asarray(v) for k, v in aux_np.items()}]
+    j_targets = {"masks": jnp.asarray(gt_masks),
+                 "labels": jnp.asarray(gt_labels),
+                 "valid": jnp.ones((B, N), bool)}
+    set_uniform_fn(fixed_uniform)
+    set_assign_impl("scipy")
+    try:
+        j_losses = crit(jax.random.PRNGKey(0), j_outputs, j_targets,
+                        compute_seg=True, compute_class=True,
+                        compute_region=True)
+    finally:
+        set_uniform_fn(None)
+
+    # ours applies the loss weights (mask/dice 5, class 2) inline
+    np.testing.assert_allclose(float(j_losses["loss_mask"]),
+                               5.0 * t_total("loss_mask"), rtol=1e-4,
+                               err_msg="loss_mask")
+    np.testing.assert_allclose(float(j_losses["loss_dice"]),
+                               5.0 * t_total("loss_dice"), rtol=1e-4,
+                               err_msg="loss_dice")
+    np.testing.assert_allclose(float(j_losses["loss_SEG_class"]),
+                               2.0 * t_total("loss_SEG_class"), rtol=1e-4,
+                               err_msg="loss_SEG_class")
+    np.testing.assert_allclose(float(j_losses["loss_class_name_class"]),
+                               2.0 * t_total("loss_class_name_class"),
+                               rtol=1e-4, err_msg="loss_class_name_class")
+    np.testing.assert_allclose(float(j_losses["loss_region_class"]),
+                               2.0 * t_total("loss_region_class"), rtol=1e-4,
+                               err_msg="loss_region_class")
+
+
+# ---------------------------------------------------------------------------
+# 7. Full spine on a tiny config: reference PSALM.forward (panoptic batch,
+#    train losses) vs our PSALM.apply + criterion on the converted checkpoint.
+#    Spans: splicer, Swin-B, projector, Phi, embedding gathers (+random_idx
+#    class shuffle), pixel decoder, predictor, criterion — llava_phi.py:979.
+
+
+def _ns(**kw):
+    import types as _t
+    return _t.SimpleNamespace(**kw)
+
+
+def _tiny_mask_cfg():
+    return _ns(
+        MODEL=_ns(
+            MASK_FORMER=_ns(
+                HIDDEN_DIM=32, NUM_OBJECT_QUERIES=10, NHEADS=4,
+                DIM_FEEDFORWARD=64, DEC_LAYERS=3, PRE_NORM=False,
+                SEG_NORM=False, SEG_PROJ=True, FUSE_SCORE=False,
+                DROPOUT=0.0, TRAIN_NUM_POINTS=16, OVERSAMPLE_RATIO=3.0,
+                IMPORTANCE_SAMPLE_RATIO=0.75, DEEP_SUPERVISION=True,
+                NO_OBJECT_WEIGHT=0.1, CLASS_WEIGHT=2.0, DICE_WEIGHT=5.0,
+                MASK_WEIGHT=5.0, SEG_TASK="panoptic"),
+            SEM_SEG_HEAD=_ns(
+                CONVS_DIM=32, MASK_DIM=32, NUM_CLASSES=3, COMMON_STRIDE=4,
+                TRANSFORMER_ENC_LAYERS=2,
+                DEFORMABLE_TRANSFORMER_ENCODER_IN_FEATURES=[
+                    "res3", "res4", "res5"]),
+            SWIN=_ns(EMBED_DIM=128, DEPTHS=[2, 2, 18, 2],
+                     OUT_FEATURES=["res2", "res3", "res4", "res5"]),
+        ),
+        INPUT=_ns(IMAGE_SIZE=64, MIN_SCALE=1.0, MAX_SCALE=1.0,
+                  FORMAT="RGB"),
+    )
+
+
+def test_golden_full_spine_panoptic():
+    llava = load_ref("psalm.model.language_model.llava_phi")
+    from psalm_tpu.data.constants import (CLS_TOKEN_INDEX, IMAGE_TOKEN_INDEX,
+                                          SEG_TOKEN_INDEX)
+
+    torch.manual_seed(6)
+    mcfg = _tiny_mask_cfg()
+    pcfg = llava.LlavaConfig(
+        vocab_size=512, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4,
+        max_position_embeddings=512, partial_rotary_factor=0.5)
+    ref = llava.PSALM(pcfg, mask_decoder_cfg=mcfg)
+    ref.get_model().initialize_vision_modules(_ns(
+        vision_tower=None, with_norm=True, with_layernorm=True,
+        pretrain_mm_mlp_adapter=None, mm_projector_type="swin_conv",
+        swin_type="base"))
+    ref.initial_mask_module()
+    with torch.no_grad():
+        ref.seg_query.normal_(0, 0.5)
+        for m in ref.get_model().mm_projector.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.5, 0.5)
+                m.running_var.uniform_(0.5, 2.0)
+    ref = ref.float()
+    ref.eval()
+
+    # ---- the logical sample (panoptic prompt shape, K=3 class names)
+    B, K, N, Q = 2, 3, 3, 10
+    rng = np.random.default_rng(7)
+    ids = [11, 12, IMAGE_TOKEN_INDEX, 13,
+           CLS_TOKEN_INDEX, CLS_TOKEN_INDEX, CLS_TOKEN_INDEX,
+           14, SEG_TOKEN_INDEX, 15, 16]
+    # labels required: the reference splicer dereferences label.device even
+    # for seg batches whose LM loss is computed-but-unused (llava_phi.py:651)
+    labels = [-100] * (len(ids) - 2) + [15, 16]
+    class_name_ids = np.array([21, 22, 23, 24, 25, 26], np.int64)
+    cls_indices = np.array([0, 0, 1, 2, 2, 2], np.int64)
+    random_idx = np.array([[2, 0, 1], [1, 2, 0]], np.int64)
+    images = rng.standard_normal((B, 3, 64, 64)).astype(np.float32)
+    gt_masks = (rng.uniform(size=(B, N, 64, 64)) > 0.6).astype(np.float32)
+    gt_labels = rng.integers(0, K - 1, size=(B, N))
+
+    NUM_PTS, N_SAMPLED, N_RAND = 16, 48, 4
+    bases = {NUM_PTS: rng.uniform(size=(NUM_PTS, 2)).astype(np.float32),
+             N_SAMPLED: rng.uniform(size=(N_SAMPLED, 2)).astype(np.float32),
+             N_RAND: rng.uniform(size=(N_RAND, 2)).astype(np.float32)}
+    real_rand = torch.rand
+
+    def fixed_rand(*shape, **kw):
+        if len(shape) == 1 and isinstance(shape[0], (tuple, list)):
+            shape = tuple(shape[0])
+        if len(shape) == 3 and shape[-1] == 2 and shape[-2] in bases:
+            t = torch.from_numpy(bases[shape[-2]])
+            return t.expand(shape[0], *t.shape).clone()
+        return real_rand(*shape, **kw)
+
+    # ---- reference forward
+    import detectron2.structures as d2s
+    seg_info = []
+    for b in range(B):
+        inst = d2s.Instances((64, 64))
+        inst.gt_masks = torch.from_numpy(gt_masks[b])
+        inst.gt_classes = torch.from_numpy(gt_labels[b])
+        seg_info.append({"instances": inst})
+
+    t_input_ids = torch.tensor([ids] * B)
+    torch.rand = fixed_rand
+    try:
+        with torch.no_grad():
+            t_out = ref(
+                input_ids=t_input_ids,
+                attention_mask=torch.ones_like(t_input_ids, dtype=torch.bool),
+                labels=torch.tensor([labels] * B),
+                images=torch.from_numpy(images),
+                seg_info=seg_info,
+                class_name_ids=torch.from_numpy(
+                    np.tile(class_name_ids, (B, 1))),
+                class_name_embedding_indices=(
+                    t_input_ids == CLS_TOKEN_INDEX).long(),
+                cls_indices=torch.from_numpy(np.tile(cls_indices, (B, 1))),
+                random_idx=torch.from_numpy(random_idx),
+                dataset_type=["panoptic"] * B)
+    finally:
+        torch.rand = real_rand
+
+    # ---- ours: convert the reference's full state dict + identical batch
+    from psalm_tpu.config import (PSALMConfig, PhiConfig as JPhiConfig,
+                                  swin_b)
+    from psalm_tpu.checkpoint.convert import convert_psalm_checkpoint
+    from psalm_tpu.data.splicer import splice, stack_samples
+    from psalm_tpu.models.psalm import PSALM
+    from psalm_tpu.train.criterion import (PSALMCriterion, set_assign_impl,
+                                           set_uniform_fn)
+
+    cfg = PSALMConfig(
+        phi=JPhiConfig(vocab_size=512, hidden_size=64, intermediate_size=128,
+                       num_layers=2, num_heads=4,
+                       max_position_embeddings=512),
+        swin=swin_b(),
+        projector=ProjectorConfig(input_dim=1024, out_dim=64),
+        pixel_decoder=PixelDecoderConfig(
+            conv_dim=32, mask_dim=32, transformer_enc_layers=2,
+            transformer_nheads=4, transformer_dim_feedforward=1024,
+            in_channels=(128, 256, 512, 1024)),
+        mask_decoder=MaskDecoderConfig(hidden_dim=32, num_queries=Q, nheads=4,
+                                       dim_feedforward=64, dec_layers=2,
+                                       mask_dim=32),
+        loss=LossConfig(train_num_points=NUM_PTS),
+        num_classes=K - 1, image_size=64, compute_dtype="float32")
+    variables = convert_psalm_checkpoint(ref.state_dict(), cfg)
+    variables = jax.tree.map(jnp.asarray, variables)
+
+    s = splice(ids, labels, num_image_tokens=1, num_seg_queries=Q,
+               pad_len=256, class_name_ids=class_name_ids,
+               cls_indices=cls_indices)
+    length = s.length
+    batch = {k: jnp.asarray(v[:length][None].repeat(B, axis=0))
+             for k, v in s.as_dict().items()}
+    batch["images"] = jnp.asarray(images.transpose(0, 2, 3, 1))
+    batch["random_idx"] = jnp.asarray(random_idx)
+
+    model = PSALM(cfg)
+    out = model.apply(variables, batch, use_class_names=True,
+                      num_class_names=K)
+
+    # LM logits over the identically-laid-out spliced sequence
+    t_logits = _np(t_out.logits)
+    assert out["logits"].shape == t_logits.shape, \
+        (out["logits"].shape, t_logits.shape)
+    np.testing.assert_allclose(np.asarray(out["logits"], np.float32),
+                               t_logits, rtol=5e-3, atol=5e-3,
+                               err_msg="lm logits")
+
+    # criterion over our outputs with the same fixed point sets
+    def fixed_uniform(key, shape, *a, **k):
+        assert shape[-1] == 2 and shape[-2] in bases, shape
+        return jnp.broadcast_to(jnp.asarray(bases[shape[-2]]), shape)
+
+    crit = PSALMCriterion(cfg.loss, Q, per_mask_uncertainty=True)
+    targets = {"masks": jnp.asarray(gt_masks),
+               "labels": jnp.asarray(gt_labels),
+               "valid": jnp.ones((B, N), bool)}
+    set_uniform_fn(fixed_uniform)
+    set_assign_impl("scipy")
+    try:
+        j_losses = crit(jax.random.PRNGKey(0), out, targets,
+                        compute_seg=False, compute_class=True,
+                        compute_region=False)
+    finally:
+        set_uniform_fn(None)
+
+    for ours_key, ref_val in [("loss_mask", t_out.loss_mask),
+                              ("loss_dice", t_out.loss_dice),
+                              ("loss_class_name_class",
+                               t_out.loss_class_name_class)]:
+        np.testing.assert_allclose(float(j_losses[ours_key]),
+                                   float(ref_val), rtol=5e-3,
+                                   err_msg=ours_key)
