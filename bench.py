@@ -38,10 +38,14 @@ def measure_tpu(iters: int = 8, warmup: int = 2) -> float:
     # static reference points (ops/msdeform_window.py); "deformable" = the
     # unclamped patch-gather parity path.
     mode = os.environ.get("PSALM_BENCH_PIXDEC_MODE", "window")
+    import dataclasses
     if mode != "deformable":
-        import dataclasses
         cfg = cfg.replace(pixel_decoder=dataclasses.replace(
             cfg.pixel_decoder, attention_mode=mode))
+    radius = os.environ.get("PSALM_BENCH_WINDOW_RADIUS")
+    if radius:
+        cfg = cfg.replace(pixel_decoder=dataclasses.replace(
+            cfg.pixel_decoder, window_radius=float(radius)))
     K = cfg.num_classes + 1
     model = PSALM(cfg, dtype=jnp.bfloat16, use_flash=True)
     batch = ge._panoptic_batch(cfg, B=1, num_classes=K)
@@ -77,6 +81,17 @@ def measure_tpu(iters: int = 8, warmup: int = 2) -> float:
     times_sorted = sorted(times)
     p50 = times_sorted[len(times_sorted) // 2]
     print(f"p50_per_image_latency_ms={p50 * 1000:.1f}", file=sys.stderr)
+
+    if mode == "window":
+        # exactness telemetry (VERDICT r1 #4): window mode is parity-exact
+        # while no offset exceeds the clamp radius
+        from psalm_tpu.eval.instrument import offset_clamp_report, summarize
+        stats = summarize(offset_clamp_report(
+            model, params, batch, use_class_names=True, num_class_names=K,
+            compute_logits=False))
+        print(f"window_mode_max_offset_px={stats['max_offset_px']:.2f} "
+              f"radius={cfg.pixel_decoder.window_radius} "
+              f"clamp_frac={stats['max_clamp_frac']:.2e}", file=sys.stderr)
 
     # Throughput: depth-2 pipelined loop (dispatch image i+1 before syncing
     # image i), the shape of any real eval/serving loop. On this sandbox's

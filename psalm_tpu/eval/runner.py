@@ -31,7 +31,7 @@ from psalm_tpu.ops.sampling import resize_bilinear
 
 class EvalRunner:
     def __init__(self, model, variables, cfg: PSALMConfig, num_class_names=None,
-                 is_thing=None):
+                 is_thing=None, window_clamp_threshold: float = 1e-3):
         self.model = model
         self.variables = variables
         self.cfg = cfg
@@ -40,6 +40,14 @@ class EvalRunner:
         self.is_thing = (np.asarray(is_thing, bool) if is_thing is not None
                          else np.ones(self.num_class_names - 1, bool))
         self._infer = jax.jit(functools.partial(self._infer_impl))
+        # window-mode exactness guard (VERDICT r1 #4): validated on the first
+        # real batch; falls back to the unclamped patch-gather parity path
+        # when the checkpoint's offsets exceed the radius. None = disabled.
+        self.window_clamp_threshold = window_clamp_threshold
+        self.window_stats = None
+        self._window_checked = (
+            cfg.pixel_decoder.attention_mode != "window"
+            or window_clamp_threshold is None)
 
     def _infer_impl(self, variables, batch, is_thing):
         task = self.task
@@ -99,6 +107,38 @@ class EvalRunner:
             results["region"] = reg
         return results
 
+    def _check_window_mode(self, jbatch) -> None:
+        """Measure clamp rate on the first batch; switch to the patch-gather
+        parity mode if the checkpoint's offsets exceed the window radius."""
+        import dataclasses
+        import sys
+        from psalm_tpu.eval.instrument import offset_clamp_report, summarize
+        task = self.task
+        report = offset_clamp_report(
+            self.model, self.variables, jbatch,
+            use_class_names=task in (SegTask.PANOPTIC, SegTask.INSTANCE,
+                                     SegTask.SEMANTIC),
+            use_seg_embedding=task is SegTask.REFERRING,
+            use_regions=task is SegTask.REGION,
+            max_regions=jbatch.get("region_points").shape[1]
+            if "region_points" in jbatch else 0,
+            num_class_names=self.num_class_names, compute_logits=False)
+        self.window_stats = summarize(report)
+        radius = self.cfg.pixel_decoder.window_radius
+        frac = self.window_stats["max_clamp_frac"]
+        print(f"window-mode check: max |offset| = "
+              f"{self.window_stats['max_offset_px']:.2f} px (radius {radius}),"
+              f" clamp rate = {frac:.2e}", file=sys.stderr)
+        if frac > self.window_clamp_threshold:
+            print(f"window-mode clamp rate {frac:.2e} exceeds threshold "
+                  f"{self.window_clamp_threshold:.0e}; falling back to the "
+                  "unclamped deformable parity path", file=sys.stderr)
+            self.cfg = self.cfg.replace(pixel_decoder=dataclasses.replace(
+                self.cfg.pixel_decoder, attention_mode="deformable"))
+            # flax modules are dataclasses; swapping cfg preserves dtype/flags
+            self.model = dataclasses.replace(self.model, cfg=self.cfg)
+            self._infer = jax.jit(functools.partial(self._infer_impl))
+
     def infer(self, batch: Dict[str, np.ndarray]) -> Dict[str, Any]:
         # gt arrays stay on host (they are only for the metric accumulators;
         # shipping 100x1024^2 masks to device would dominate transfer time)
@@ -106,6 +146,9 @@ class EvalRunner:
                   if k not in ("dataset_type", "image_id", "num_class_names",
                                "resized_hw", "original_hw", "gt_masks",
                                "gt_labels", "gt_valid")}
+        if not self._window_checked:
+            self._window_checked = True
+            self._check_window_mode(jbatch)
         out = self._infer(self.variables, jbatch, jnp.asarray(self.is_thing))
         return jax.tree.map(np.asarray, out)
 

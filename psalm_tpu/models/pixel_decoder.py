@@ -97,6 +97,15 @@ class MSDeformAttnLayer(nn.Module):
         ref = jnp.asarray(reference_points)[None, :, None, :, None, :]
         loc = ref + offsets / jnp.asarray(normalizer)[None, None, None, :, None, :]
 
+        # Window-mode exactness instrumentation (VERDICT r1 #4): offsets are
+        # in target-level pixels, the unit the window clamp operates in.
+        # sow() is free unless the caller makes "intermediates" mutable.
+        absoff = jnp.abs(offsets.astype(jnp.float32))
+        self.sow("intermediates", "offset_max", jnp.max(absoff))
+        self.sow("intermediates", "offset_clamp_frac",
+                 jnp.mean(jnp.any(absoff > self.window_radius, axis=-1)
+                          .astype(jnp.float32)))
+
         if self.impl == "window":
             from psalm_tpu.ops.msdeform_window import ms_deform_attn_window
             out = ms_deform_attn_window(value, spatial_shapes, loc, attn,

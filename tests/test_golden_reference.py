@@ -218,9 +218,9 @@ def test_golden_mask_decoder(seg_concat):
 
 
 def test_golden_pixel_decoder():
-    import addict
     pd_mod = load_ref("psalm.model.mask_decoder.Mask2Former_Simplify.modeling"
                       ".pixel_decoder.msdeformattn")
+    import addict  # shimmed by load_ref
     torch.manual_seed(3)
     chans = {"res2": 16, "res3": 32, "res4": 64, "res5": 128}
     strides = {"res2": 4, "res3": 8, "res4": 16, "res5": 32}
