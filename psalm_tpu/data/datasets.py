@@ -121,6 +121,7 @@ class PanopticDataset(BaseTaskDataset):
 
     def __init__(self, root, tokenizer, cfg, is_train=True, shuffle_classes=False):
         split = "train2017" if is_train else "val2017"
+        self.root = root
         self.image_path = os.path.join(root, split)
         self.pan_gt_path = os.path.join(root, f"panoptic_{split}")
         ann_path = os.path.join(root, f"annotations/panoptic_{split}.json")
@@ -168,6 +169,7 @@ class PanopticDataset(BaseTaskDataset):
                **self._pad_targets({"gt_classes": gt["gt_classes"],
                                     "gt_masks": gt["gt_masks"]}),
                "image_id": rec.get("image_id", idx),
+               "file_name": rec["file_name"],
                "dataset_type": self.dataset_type,
                "num_class_names": K}
         if random_idx is not None:
@@ -219,6 +221,7 @@ class InstanceDataset(BaseTaskDataset):
                 **self._pad_targets({"gt_classes": gt["gt_classes"],
                                      "gt_masks": gt["gt_masks"]}),
                 "image_id": rec["new_img_id"],
+                "file_name": rec["image"],
                 "dataset_type": self.dataset_type,
                 "num_class_names": K}
 
@@ -263,6 +266,7 @@ class InteractiveDataset(InstanceDataset):
                 **self._pad_targets({"gt_classes": gt["gt_classes"][:R],
                                      "gt_masks": gt["gt_masks"][:R]}),
                 "image_id": rec["new_img_id"],
+                "file_name": rec["image"],
                 "dataset_type": self.dataset_type}
 
 
@@ -295,6 +299,7 @@ class ReferringDataset(InstanceDataset):
                 **self._pad_targets({"gt_classes": gt["gt_classes"],
                                      "gt_masks": gt["gt_masks"]}),
                 "image_id": rec["new_img_id"],
+                "file_name": rec["image_info"]["file_name"],
                 "dataset_type": self.dataset_type}
 
 
@@ -449,6 +454,8 @@ def collate(samples: List[Dict[str, Any]]) -> Dict[str, np.ndarray]:
     for k in samples[0]:
         if k == "dataset_type":
             out[k] = samples[0][k]
+        elif k == "file_name":
+            out[k] = [s["file_name"] for s in samples]
         elif k in ("image_id", "num_class_names"):
             out[k] = np.asarray([s[k] for s in samples])
         else:

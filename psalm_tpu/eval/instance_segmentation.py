@@ -43,6 +43,11 @@ def evaluation(args, cfg=None, tokenizer=None, model=None, variables=None):
     K = len(ds.coco_class_name)
     runner = EvalRunner(model, variables, cfg, num_class_names=K)
     evaluator = InstanceAPEvaluator(list(range(K - 1)))
+    writer = None
+    if args.output_dir:
+        from psalm_tpu.eval.artifacts import InstanceResultsWriter
+        cont_to_dataset = {v: k for k, v in ds.coco_id_to_cont_id.items()}
+        writer = InstanceResultsWriter(args.output_dir, cont_to_dataset)
 
     n = min(len(ds), args.limit) if args.limit else len(ds)
     t0 = time.time()
@@ -61,11 +66,17 @@ def evaluation(args, cfg=None, tokenizer=None, model=None, variables=None):
             evaluator.add_image(masks.astype(bool), inst["scores"][b],
                                 inst["classes"][b], gt_masks.astype(bool),
                                 s["gt_labels"][:n_gt])
+            if writer is not None:
+                writer.add(int(s["image_id"]), masks.astype(bool),
+                           inst["scores"][b], inst["classes"][b])
         if i % 50 == 0:
             print(f"[{i}/{n}]")
 
     results = {"instance": evaluator.summarize(),
                "images_per_sec": n / (time.time() - t0)}
+    if writer is not None:
+        path = writer.finalize()
+        print(f"wrote {path}")
     print(json.dumps(results, indent=2))
     return results
 

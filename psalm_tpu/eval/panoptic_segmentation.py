@@ -51,6 +51,12 @@ def evaluation(args, cfg=None, tokenizer=None, model=None, variables=None):
 
     pq_stat = PQStat()
     sem_meter = SemSegMeter(num_classes=K - 1)
+    writer = None
+    if args.output_dir:
+        from psalm_tpu.eval.artifacts import PanopticPredictionWriter
+        cont_to_dataset = {v: k for k, v in ds.coco_id_to_cont_id.items()}
+        writer = PanopticPredictionWriter(
+            f"{args.output_dir}/panoptic_preds", cont_to_dataset)
     n = min(len(ds), args.limit) if args.limit else len(ds)
     t0 = time.time()
 
@@ -73,6 +79,9 @@ def evaluation(args, cfg=None, tokenizer=None, model=None, variables=None):
                  "isthing": bool(seg_info["isthing"][b][q])}
                 for q in range(len(seg_info["id"][b]))
                 if seg_info["valid"][b][q]]
+            if writer is not None:
+                writer.add(int(s["image_id"]), s["file_name"], pan,
+                           pred_segments)
 
             # gt from padded masks -> restore to original frame
             gt_map = np.zeros_like(pan)
@@ -99,6 +108,26 @@ def evaluation(args, cfg=None, tokenizer=None, model=None, variables=None):
     results = {"panoptic": pq_stat.summarize(cats),
                "semantic": sem_meter.summarize(),
                "images_per_sec": n / (time.time() - t0)}
+
+    if writer is not None:
+        import os
+        pred_json = writer.finalize()
+        print(f"wrote official-format artifacts: {pred_json}")
+        # score against the OFFICIAL GT json + PNGs (the reference's
+        # panopticapi pq_compute path, panoptic_evaluation.py:36-147) —
+        # independent of the self-restored-GT numbers above
+        split = "val2017"
+        gt_json = os.path.join(ds.root, f"annotations/panoptic_{split}.json")
+        gt_png_dir = ds.pan_gt_path
+        if os.path.exists(gt_json) and os.path.isdir(gt_png_dir):
+            from psalm_tpu.eval.artifacts import (
+                score_panoptic_against_official_gt)
+            official = PQStat()
+            score_panoptic_against_official_gt(
+                official, writer.output_dir, gt_json, gt_png_dir,
+                ds.coco_id_to_cont_id)
+            results["panoptic_official_gt"] = official.summarize(cats)
+
     print(json.dumps(results, indent=2))
     if args.output_dir:
         import os

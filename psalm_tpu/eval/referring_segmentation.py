@@ -42,6 +42,10 @@ def evaluation(args, cfg=None, tokenizer=None, model=None, variables=None):
                           is_train=False)
     runner = EvalRunner(model, variables, cfg)
     meter = IoUMeter()
+    pred_writer = None
+    if args.output_dir:
+        from psalm_tpu.eval.artifacts import RegionPredictionWriter
+        pred_writer = RegionPredictionWriter(args.output_dir, "referring")
 
     n = min(len(ds), args.limit) if args.limit else len(ds)
     t0 = time.time()
@@ -63,11 +67,27 @@ def evaluation(args, cfg=None, tokenizer=None, model=None, variables=None):
                     s["gt_masks"][gi].astype(np.uint8), rh, ow).astype(bool)
                 gt |= m
             meter.update(pred, gt)
+            if pred_writer is not None:
+                pred_writer.add(s["file_name"], [pred], [gt])
         if i % 100 == 0:
             print(f"[{i}/{n}] cIoU={meter.ciou:.2f} gIoU={meter.giou:.2f}")
 
     results = {"referring": {"cIoU": meter.ciou, "gIoU": meter.giou},
                "images_per_sec": n / (time.time() - t0)}
+    if args.output_dir:
+        # reference artifact: metric summary txt
+        # (referring_segmentation.py:295-300); predictions additionally
+        # persisted as RLE pkl for offline re-scoring (round-1 weak #7)
+        import os
+        from psalm_tpu.eval.artifacts import (RegionPredictionWriter,
+                                              write_metric_txt)
+        suffix = os.path.splitext(os.path.basename(args.json_path))[0]
+        msg = ("benchmark: {}: giou: {:.4f}, ciou: {:.4f}"
+               .format(suffix, meter.giou / 100, meter.ciou / 100))
+        write_metric_txt(args.output_dir, suffix, msg)
+        pred_writer.suffix = suffix
+        path = pred_writer.finalize()
+        print(f"wrote {path}")
     print(json.dumps(results, indent=2))
     return results
 

@@ -49,6 +49,11 @@ def evaluation(args, cfg=None, tokenizer=None, model=None, variables=None):
                             region_mask_type=args.region_mask_type)
     runner = EvalRunner(model, variables, cfg)
     meter = IoUMeter()
+    pred_writer = None
+    if args.output_dir:
+        from psalm_tpu.eval.artifacts import RegionPredictionWriter
+        pred_writer = RegionPredictionWriter(args.output_dir,
+                                             args.region_mask_type)
 
     n = min(len(ds), args.limit) if args.limit else len(ds)
     t0 = time.time()
@@ -60,6 +65,7 @@ def evaluation(args, cfg=None, tokenizer=None, model=None, variables=None):
         for b, s in enumerate(samples):
             rh, ow = s["resized_hw"], s["original_hw"]
             n_reg = int(s["region_valid"].sum())
+            preds, gts = [], []
             for r in range(min(n_reg, int(s["gt_valid"].sum()))):
                 # best query per region prompt (region_inference scores [Q, R])
                 top = int(np.argmax(reg["scores"][b][:, r]))
@@ -68,12 +74,26 @@ def evaluation(args, cfg=None, tokenizer=None, model=None, variables=None):
                 gt = EvalRunner.restore_map(
                     s["gt_masks"][r].astype(np.uint8), rh, ow).astype(bool)
                 meter.update(pred, gt)
+                preds.append(pred)
+                gts.append(gt)
+            if pred_writer is not None:
+                pred_writer.add(s["file_name"], preds, gts)
         if i % 100 == 0:
             print(f"[{i}/{n}] cIoU={meter.ciou:.2f} gIoU={meter.giou:.2f}")
 
     results = {"region": {"cIoU": meter.ciou, "gIoU": meter.giou,
                           "type": args.region_mask_type},
                "images_per_sec": n / (time.time() - t0)}
+    if args.output_dir:
+        # reference artifacts: RLE pred/gt pickle + metric txt
+        # (region_segmentation.py:282-297)
+        from psalm_tpu.eval.artifacts import write_metric_txt
+        msg = ("benchmark: {}: giou: {:.4f}, ciou: {:.4f}"
+               .format(args.region_mask_type, meter.giou / 100,
+                       meter.ciou / 100))
+        write_metric_txt(args.output_dir, args.region_mask_type, msg)
+        path = pred_writer.finalize()
+        print(f"wrote {path}")
     print(json.dumps(results, indent=2))
     return results
 

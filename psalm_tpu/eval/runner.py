@@ -145,7 +145,7 @@ class EvalRunner:
         jbatch = {k: jnp.asarray(v) for k, v in batch.items()
                   if k not in ("dataset_type", "image_id", "num_class_names",
                                "resized_hw", "original_hw", "gt_masks",
-                               "gt_labels", "gt_valid")}
+                               "gt_labels", "gt_valid", "file_name")}
         if not self._window_checked:
             self._window_checked = True
             self._check_window_mode(jbatch)

@@ -276,6 +276,7 @@ class Trainer:
             num_k = int(batch_np.pop("num_class_names", [0])[0]) \
                 if "num_class_names" in batch_np else 0
             batch_np.pop("image_id", None)
+            batch_np.pop("file_name", None)
             batch_np.pop("resized_hw", None)
             batch_np.pop("original_hw", None)
             if self.mesh is not None:
