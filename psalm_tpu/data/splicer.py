@@ -79,12 +79,26 @@ def splice(
     cls_indices: Optional[np.ndarray] = None,
     token_refer_id: Optional[np.ndarray] = None,
     num_regions: int = 0,
+    legacy_im_start_end: bool = False,
 ) -> SplicedSample:
-    """Expand sentinels in ``input_ids`` into their final static positions."""
+    """Expand sentinels in ``input_ids`` into their final static positions.
+
+    legacy_im_start_end: the LLaVA adapter-pretrain label quirk
+    (llava_arch.py:106-118): with <im_start><image><im_end>, the label at the
+    <image> sentinel position is re-attached to the <im_end> row (and
+    <im_end>'s own label dropped) — the reference consumes
+    ``cur_labels[image_token_start:image_token_start+1]`` after the image
+    block and resumes at ``image_token_start+2``.
+    """
     input_ids = np.asarray(input_ids, np.int64)
     if labels is not None:
         labels = np.asarray(labels, np.int64)
         assert labels.shape == input_ids.shape
+        if legacy_im_start_end:
+            labels = labels.copy()
+            for p in np.where(input_ids == IMAGE_TOKEN_INDEX)[0]:
+                if p + 1 < len(labels):
+                    labels[p + 1] = labels[p]
 
     tok, styp, sidx, lab = [], [], [], []
     segm, clsm, refm, regm = [], [], [], []

@@ -20,17 +20,23 @@ from psalm_tpu.models.psalm import PSALM
 
 def load_pretrained_model(model_path: str, seg_task: SegTask = SegTask.PANOPTIC,
                           dtype=jnp.float32, cfg: Optional[PSALMConfig] = None,
-                          load_8bit: bool = False
+                          load_8bit: bool = False, load_4bit: bool = False
                           ) -> Tuple[Any, PSALM, Any, int]:
     """Returns (tokenizer, model, variables, context_len).
 
-    load_8bit: weight-only int8 Phi linears (the reference's bitsandbytes
-    load_8bit flag, psalm/model/builder.py:35-44; ours is models/quant.py).
+    load_8bit / load_4bit: weight-only int8 / packed-int4 Phi linears (the
+    reference's bitsandbytes flags, psalm/model/builder.py:31-44; ours is
+    models/quant.py — the int4 path is a real group-quantized load, not the
+    reference's config-only passthrough).
     """
     cfg = cfg or PSALMConfig(seg_task=seg_task)
+    assert not (load_8bit and load_4bit)
     if load_8bit and cfg.phi.quant_bits != 8:
         import dataclasses
         cfg = cfg.replace(phi=dataclasses.replace(cfg.phi, quant_bits=8))
+    if load_4bit and cfg.phi.quant_bits != 4:
+        import dataclasses
+        cfg = cfg.replace(phi=dataclasses.replace(cfg.phi, quant_bits=4))
     model = PSALM(cfg, dtype=dtype)
 
     variables = None
@@ -48,6 +54,9 @@ def load_pretrained_model(model_path: str, seg_task: SegTask = SegTask.PANOPTIC,
         if load_8bit:
             from psalm_tpu.models.quant import quantize_phi_int8
             variables = quantize_phi_int8(variables)
+        if load_4bit:
+            from psalm_tpu.models.quant import quantize_phi_int4
+            variables = quantize_phi_int4(variables)
         variables = jax.tree.map(jnp.asarray, variables)
 
     tokenizer = None

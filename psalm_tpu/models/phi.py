@@ -39,6 +39,9 @@ def _dense(cfg: PhiConfig, features, dtype, name):
     if qb == 8:
         from psalm_tpu.models.quant import QuantDense
         return QuantDense(features, dtype=dtype, name=name)
+    if qb == 4:
+        from psalm_tpu.models.quant import Quant4Dense
+        return Quant4Dense(features, dtype=dtype, name=name)
     import flax.linen as _nn
     return _nn.Dense(features, dtype=dtype, name=name)
 

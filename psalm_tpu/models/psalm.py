@@ -128,13 +128,24 @@ class PSALM(nn.Module):
     # sequence assembly (replaces llava_phi.py:581-766)
 
     def assemble_embeddings(self, tok_ids, src_type, src_idx, image_tokens,
-                            region_tokens=None):
+                            region_tokens=None, trainable_token_ids=None):
         """Build the spliced input embedding sequence.
 
         tok_ids/src_type/src_idx: [B, L]; image_tokens: [B, N, D];
         region_tokens: [B, R, D] or None. Returns [B, L, D].
+
+        trainable_token_ids: the legacy adapter-pretrain mode
+        (tune_mm_mlp_adapter + mm_use_im_start_end, llava_arch.py:106-135):
+        text embeddings are DETACHED except the listed token ids (the
+        <im_start>/<im_end> rows), so only those embedding rows train.
         """
         text = self.phi.embed(tok_ids)
+        if trainable_token_ids:
+            keep = jnp.zeros(tok_ids.shape, bool)
+            for t in trainable_token_ids:
+                keep = keep | (tok_ids == t)
+            text = jnp.where(keep[..., None], text,
+                             jax.lax.stop_gradient(text))
         idx = src_idx[..., None]
         img = jnp.take_along_axis(image_tokens, jnp.clip(idx, 0, image_tokens.shape[1] - 1), axis=1)
         segq = self.seg_query.astype(text.dtype)[jnp.clip(src_idx, 0, self.seg_query.shape[0] - 1)]
@@ -156,7 +167,8 @@ class PSALM(nn.Module):
                  train: bool = False,
                  max_regions: int = 0,
                  num_class_names: Optional[int] = None,
-                 compute_logits: bool = True) -> Dict[str, jnp.ndarray]:
+                 compute_logits: bool = True,
+                 trainable_token_ids=None) -> Dict[str, jnp.ndarray]:
         """Run the full spine: vision -> LLM -> pixel decoder -> predictor.
 
         batch keys (from data/splicer.py + collator):
@@ -186,7 +198,8 @@ class PSALM(nn.Module):
 
         seq = self.assemble_embeddings(batch["tok_ids"], batch["src_type"],
                                        batch["src_idx"], image_tokens,
-                                       region_tokens)
+                                       region_tokens,
+                                       trainable_token_ids=trainable_token_ids)
         if compute_logits:
             logits, hidden, _ = self.phi(seq,
                                          attention_mask=batch["attention_mask"])

@@ -62,6 +62,87 @@ def quantize_kernel(kernel: np.ndarray):
     return q, scale
 
 
+class Quant4Dense(nn.Module):
+    """nn.Dense with a nibble-packed int4 weight (bnb load_in_4bit analog,
+    reference builder.py:31-40 — which is config-only passthrough; this is a
+    real group-quantized implementation).
+
+    Storage: kernel_q4 int8 [in/2, out] — low nibble = even input row, high
+    nibble = odd input row — plus per-(group, out) f32 scales (group along
+    the input axis). Unpacking is two shifts (the (x<<4)>>4 arithmetic-shift
+    trick sign-extends the low nibble), fused by XLA into the operand load;
+    HBM weight traffic quarters vs bf16."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+    group: int = 64
+
+    @nn.compact
+    def __call__(self, x):
+        in_f = x.shape[-1]
+        assert in_f % 2 == 0 and in_f % self.group == 0, (in_f, self.group)
+        kq = self.param("kernel_q4", nn.initializers.zeros,
+                        (in_f // 2, self.features), jnp.int8)
+        scale = self.param("scale", nn.initializers.ones,
+                           (in_f // self.group, self.features), jnp.float32)
+        low = jnp.right_shift(jnp.left_shift(kq, 4), 4)
+        high = jnp.right_shift(kq, 4)
+        k = jnp.stack([low, high], axis=1).reshape(in_f, self.features)
+        s = jnp.repeat(scale, self.group, axis=0)
+        y = x @ (k.astype(self.dtype) * s.astype(self.dtype))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+def quantize_kernel_int4(kernel: np.ndarray, group: int = 64):
+    """[in, out] float -> (packed int8 [in/2, out], f32 scale [in/group, out])."""
+    k = np.asarray(kernel, np.float32)
+    in_f, out_f = k.shape
+    assert in_f % 2 == 0 and in_f % group == 0, (k.shape, group)
+    kg = k.reshape(in_f // group, group, out_f)
+    amax = np.abs(kg).max(axis=1)
+    scale = np.where(amax > 0, amax / 7.0, 1.0).astype(np.float32)
+    q = np.clip(np.round(kg / scale[:, None, :]), -7, 7).astype(np.int8)
+    q = q.reshape(in_f, out_f)
+    packed = ((q[1::2].astype(np.uint8) << 4)
+              | (q[0::2].astype(np.uint8) & 0xF)).astype(np.int8)
+    return packed, scale
+
+
+def quantize_phi_int4(variables: Dict, layer_names: Sequence[str]
+                      = QUANT_LAYER_NAMES, group: int = 64) -> Dict:
+    """Convert the loaded tree's phi linear kernels to packed int4 leaves."""
+
+    def walk(node, path):
+        if not isinstance(node, dict):
+            return node
+        out = {}
+        for k, v in node.items():
+            p = path + (k,)
+            if (isinstance(v, dict) and "kernel" in v
+                    and any(n in p for n in layer_names)
+                    and getattr(v["kernel"], "ndim", 0) == 2):
+                packed, scale = quantize_kernel_int4(
+                    np.asarray(v["kernel"]), group)
+                new_v = {kk: vv for kk, vv in v.items() if kk != "kernel"}
+                new_v["kernel_q4"] = jnp.asarray(packed)
+                new_v["scale"] = jnp.asarray(scale)
+                out[k] = {kk: walk(vv, p + (kk,)) if isinstance(vv, dict)
+                          else vv for kk, vv in new_v.items()}
+            else:
+                out[k] = walk(v, p)
+        return out
+
+    params = dict(variables["params"])
+    if "phi" in params:
+        params["phi"] = walk(params["phi"], ("phi",))
+    return {**variables, "params": params}
+
+
 def quantize_phi_int8(variables: Dict, layer_names: Sequence[str]
                       = QUANT_LAYER_NAMES) -> Dict:
     """Convert the loaded tree's phi linear kernels to int8+scale leaves.

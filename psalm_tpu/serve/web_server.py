@@ -63,7 +63,7 @@ async function send(){
 </script></body></html>"""
 
 
-def make_handler(controller_url: str):
+def make_handler(controller_url: str, moderate: bool = False):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):
             pass
@@ -83,6 +83,24 @@ def make_handler(controller_url: str):
                 return
             n = int(self.headers.get("Content-Length", 0))
             data = self.rfile.read(n)
+            if moderate:
+                # moderation hook (reference gradio_web_server.py:143-147)
+                import json as _json
+                from psalm_tpu.serve.moderation import (MODERATION_MSG,
+                                                        violates_moderation)
+                try:
+                    prompt = _json.loads(data).get("prompt", "")
+                except ValueError:
+                    prompt = ""
+                if violates_moderation(prompt):
+                    body = _json.dumps({"text": MODERATION_MSG,
+                                        "error_code": 1}).encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
             req = urllib.request.Request(
                 controller_url + "/worker_generate_stream", data=data,
                 headers={"Content-Type": "application/json"})
@@ -105,9 +123,11 @@ def main():
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=7860)
     p.add_argument("--controller-url", default="http://localhost:10000")
+    p.add_argument("--moderate", action="store_true")
     args = p.parse_args()
     server = ThreadingHTTPServer((args.host, args.port),
-                                 make_handler(args.controller_url))
+                                 make_handler(args.controller_url,
+                                              moderate=args.moderate))
     print(f"web ui on http://{args.host}:{args.port}")
     server.serve_forever()
 
