@@ -169,7 +169,14 @@ class PixelDecoderConfig:
     # (MXU-starved); dense w/ 2 heads (head_dim 128) 206 ms. Use
     # transformer_nheads=2 with dense mode.
     attention_mode: str = "deformable"
-    window_radius: float = 8.0  # offset clamp (target-level px), window mode
+    # offset clamp radius (target-level px), window mode. The zero-kernel
+    # offset head's bias init has magnitude <= enc_points = 4
+    # (ms_deform_attn.py:70-80), so 5 is exact at init; for trained
+    # checkpoints EvalRunner measures the clamp rate on the first batch and
+    # RAISES the radius to fit (eval/runner.py), so 5 is a fast default,
+    # not a correctness bound. Window width w = (tile-1)*f + 2R + 3; the
+    # t1 = Ay @ win HBM round-trip scales with w, R5 vs R8 is ~25% faster.
+    window_radius: float = 5.0
     window_tile: int = 16  # query tile side, window mode
 
 

@@ -126,18 +126,30 @@ class EvalRunner:
         self.window_stats = summarize(report)
         radius = self.cfg.pixel_decoder.window_radius
         frac = self.window_stats["max_clamp_frac"]
-        print(f"window-mode check: max |offset| = "
-              f"{self.window_stats['max_offset_px']:.2f} px (radius {radius}),"
-              f" clamp rate = {frac:.2e}", file=sys.stderr)
-        if frac > self.window_clamp_threshold:
-            print(f"window-mode clamp rate {frac:.2e} exceeds threshold "
-                  f"{self.window_clamp_threshold:.0e}; falling back to the "
+        max_off = self.window_stats["max_offset_px"]
+        print(f"window-mode check: max |offset| = {max_off:.2f} px "
+              f"(radius {radius}), clamp rate = {frac:.2e}", file=sys.stderr)
+        if frac <= self.window_clamp_threshold:
+            return
+        # first remedy: RAISE the radius to fit the checkpoint's offsets
+        # (window mode stays exact and fast); give up to the unclamped
+        # patch-gather parity path only for extreme offset distributions
+        import math
+        new_radius = float(math.ceil(max_off) + 1)
+        if new_radius <= 16.0:
+            print(f"raising window radius {radius} -> {new_radius} to cover "
+                  f"the measured offsets (clamp rate was {frac:.2e})",
+                  file=sys.stderr)
+            self.cfg = self.cfg.replace(pixel_decoder=dataclasses.replace(
+                self.cfg.pixel_decoder, window_radius=new_radius))
+        else:
+            print(f"offsets reach {max_off:.1f} px; falling back to the "
                   "unclamped deformable parity path", file=sys.stderr)
             self.cfg = self.cfg.replace(pixel_decoder=dataclasses.replace(
                 self.cfg.pixel_decoder, attention_mode="deformable"))
-            # flax modules are dataclasses; swapping cfg preserves dtype/flags
-            self.model = dataclasses.replace(self.model, cfg=self.cfg)
-            self._infer = jax.jit(functools.partial(self._infer_impl))
+        # flax modules are dataclasses; swapping cfg preserves dtype/flags
+        self.model = dataclasses.replace(self.model, cfg=self.cfg)
+        self._infer = jax.jit(functools.partial(self._infer_impl))
 
     def infer(self, batch: Dict[str, np.ndarray]) -> Dict[str, Any]:
         # gt arrays stay on host (they are only for the metric accumulators;

@@ -47,11 +47,11 @@ def test_offset_clamp_report_per_layer():
     assert 0.0 < s["max_offset_px"] <= cfg.pixel_decoder.enc_points + 1e-5
 
 
-def test_runner_window_fallback():
+def test_runner_window_radius_adapt_and_fallback(monkeypatch):
     from psalm_tpu.eval.runner import EvalRunner
     cfg, model, params, batch, K = _setup()
-    # force a tiny radius so the init offsets (magnitude up to n_points=4)
-    # exceed it and trigger the fallback
+    # tiny radius: the init offsets (magnitude up to n_points=4) exceed it;
+    # the runner should RAISE the radius to cover them, keeping window mode
     cfg_small = cfg.replace(pixel_decoder=dataclasses.replace(
         cfg.pixel_decoder, window_radius=0.5))
     model_small = dataclasses.replace(model, cfg=cfg_small)
@@ -62,12 +62,26 @@ def test_runner_window_fallback():
     out = runner.infer(batch)
     assert runner.window_stats is not None
     assert runner.window_stats["max_clamp_frac"] > 1e-3
-    assert runner.cfg.pixel_decoder.attention_mode == "deformable"
+    assert runner.cfg.pixel_decoder.attention_mode == "window"
+    assert runner.cfg.pixel_decoder.window_radius >= \
+        runner.window_stats["max_offset_px"]
     assert np.isfinite(out["panoptic_seg"]).all()
 
-    # generous radius: window mode kept
-    runner2 = EvalRunner(model, params, cfg, num_class_names=K,
+    # extreme offsets (reported via a patched summarize): parity fallback
+    # (the runner imports summarize lazily, so patching the module works)
+    import psalm_tpu.eval.instrument as instr
+    monkeypatch.setattr(instr, "summarize",
+                        lambda rep: {"max_offset_px": 50.0,
+                                     "max_clamp_frac": 0.5})
+    runner2 = EvalRunner(model_small, params, cfg_small, num_class_names=K,
                          window_clamp_threshold=1e-3)
     runner2.infer(batch)
-    assert runner2.cfg.pixel_decoder.attention_mode == "window"
-    assert runner2.window_stats["max_clamp_frac"] == 0.0
+    assert runner2.cfg.pixel_decoder.attention_mode == "deformable"
+
+    # generous radius: window mode kept as-is
+    monkeypatch.undo()
+    runner3 = EvalRunner(model, params, cfg, num_class_names=K,
+                         window_clamp_threshold=1e-3)
+    runner3.infer(batch)
+    assert runner3.cfg.pixel_decoder.attention_mode == "window"
+    assert runner3.window_stats["max_clamp_frac"] == 0.0
