@@ -582,3 +582,133 @@ def test_golden_full_spine_panoptic():
         np.testing.assert_allclose(float(j_losses[ours_key]),
                                    float(ref_val), rtol=5e-3,
                                    err_msg=ours_key)
+
+
+# ---------------------------------------------------------------------------
+# 8. Inference heads (llava_phi.py:308-447) — the panoptic greedy-merge loop
+#    vs our vectorized reformulation (exact tie behavior), plus the
+#    instance / referring / region / semantic heads.
+
+
+class _HeadStub:
+    """Carries the attrs the reference's unbound head methods read."""
+
+    def __init__(self, topk, is_thing, num_queries, panoptic_on=True):
+        self.test_topk_per_image = topk
+        self.is_thing_list = is_thing
+        self.num_queries = num_queries
+        self.panoptic_on = panoptic_on
+        self.device = torch.device("cpu")
+
+
+def _head_inputs(seed=9, Q=10, K=6, H=24, W=32):
+    rng = np.random.default_rng(seed)
+    # drive several queries over the 0.8 score threshold, mixed thing/stuff,
+    # including two queries of the same stuff class (exercises stuff merge)
+    class_logits = rng.standard_normal((Q, K)).astype(np.float32)
+    boost = rng.integers(0, K - 1, Q)
+    for q in range(7):
+        class_logits[q, boost[q]] += 8.0
+    class_logits[5, :] = class_logits[4, :]  # same class as query 4
+    # blob masks: each query dominant in its own column band (so the argmax
+    # partition accepts it), with overlaps between neighbors to exercise the
+    # 0.8 overlap-threshold rejection and the stuff merge
+    mask_logits = np.full((Q, H, W), -6.0, np.float32)
+    for q in range(Q):
+        x0 = (q * W) // Q
+        x1 = min(W, x0 + W // Q + 3)  # spill into the neighbor's band
+        mask_logits[q, :, x0:x1] = 6.0
+    mask_logits += rng.standard_normal((Q, H, W)).astype(np.float32)
+    is_thing = [bool(i % 2 == 0) for i in range(K - 1)]
+    return class_logits, mask_logits, is_thing
+
+
+def test_golden_panoptic_merge():
+    llava = load_ref("psalm.model.language_model.llava_phi")
+    from psalm_tpu.eval.postprocess import panoptic_inference
+    class_logits, mask_logits, is_thing = _head_inputs()
+    stub = _HeadStub(10, is_thing, 10)
+    with torch.no_grad():
+        t_pan, t_info = llava.PSALM.class_name_panoptic_inference(
+            stub, torch.zeros(10, 1), torch.from_numpy(class_logits),
+            torch.from_numpy(mask_logits))
+
+    j_pan, j_info = panoptic_inference(jnp.asarray(class_logits),
+                                       jnp.asarray(mask_logits),
+                                       jnp.asarray(is_thing))
+    np.testing.assert_array_equal(np.asarray(j_pan), _np(t_pan))
+    ours = [{"id": int(j_info["id"][q]),
+             "isthing": bool(j_info["isthing"][q]),
+             "category_id": int(j_info["category"][q])}
+            for q in range(10) if j_info["valid"][q]]
+    assert ours == t_info
+    # the fixture must actually exercise merging and acceptance
+    assert len(t_info) >= 2
+    assert len(set(s["id"] for s in t_info)) == len(t_info)
+
+
+def test_golden_instance_head():
+    llava = load_ref("psalm.model.language_model.llava_phi")
+    from psalm_tpu.eval.postprocess import instance_inference
+    class_logits, mask_logits, is_thing = _head_inputs(seed=10)
+    topk = 10
+    stub = _HeadStub(topk, is_thing, 10, panoptic_on=True)
+    with torch.no_grad():
+        t_res = llava.PSALM.class_name_instance_inference(
+            stub, None, torch.from_numpy(class_logits),
+            torch.from_numpy(mask_logits))
+
+    out = instance_inference(jnp.asarray(class_logits),
+                             jnp.asarray(mask_logits), topk=topk,
+                             is_thing=jnp.asarray(is_thing))
+    # ours: sorted topk + thing-filter mask; ref: unsorted topk + gather
+    j_order = [i for i in range(topk) if bool(out["keep"][i])]
+    j = sorted(((float(out["scores"][i]), int(out["classes"][i]),
+                 np.asarray(out["masks"][i])) for i in j_order),
+               key=lambda r: -r[0])
+    t = sorted(((float(s), int(c), _np(m) > 0.5) for s, c, m in
+                zip(t_res.scores, t_res.pred_classes, t_res.pred_masks)),
+               key=lambda r: -r[0])
+    assert len(j) == len(t) and len(t) > 0
+    for (js, jc, jm), (ts, tc, tm) in zip(j, t):
+        assert abs(js - ts) < 1e-5
+        assert jc == tc
+        np.testing.assert_array_equal(jm, tm)
+
+
+def test_golden_seg_region_semantic_heads():
+    llava = load_ref("psalm.model.language_model.llava_phi")
+    from psalm_tpu.eval.postprocess import (region_inference,
+                                            seg_instance_inference,
+                                            semantic_inference)
+    rng = np.random.default_rng(11)
+    Q, K, R, H, W = 10, 6, 3, 16, 16
+    SEG = rng.standard_normal((Q, 1)).astype(np.float32)
+    cls = rng.standard_normal((Q, K)).astype(np.float32)
+    masks = (rng.standard_normal((Q, H, W)) * 2).astype(np.float32)
+    reg = rng.standard_normal((R, Q)).astype(np.float32)
+    stub = _HeadStub(Q, [True] * (K - 1), Q)
+
+    with torch.no_grad():
+        t_seg = llava.PSALM.SEG_instance_inference(
+            stub, torch.from_numpy(SEG), torch.from_numpy(masks))
+        t_reg = llava.PSALM.region_inference(
+            stub, torch.from_numpy(reg), torch.from_numpy(masks))
+        t_sem = llava.PSALM.class_name_semantic_inference(
+            stub, None, torch.from_numpy(cls), torch.from_numpy(masks))
+
+    j_seg = seg_instance_inference(jnp.asarray(SEG), jnp.asarray(masks),
+                                   topk=Q)
+    want = sorted(float(s) for s in t_seg.scores)
+    got = sorted(float(s) for s in j_seg["scores"])
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    j_reg = region_inference(jnp.asarray(reg), jnp.asarray(masks))
+    np.testing.assert_allclose(np.asarray(j_reg["scores"]), _np(t_reg.scores),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(j_reg["masks"]),
+                                  _np(t_reg.pred_masks) > 0.5)
+
+    j_sem = semantic_inference(jnp.asarray(cls), jnp.asarray(masks))
+    np.testing.assert_allclose(np.asarray(j_sem), _np(t_sem), rtol=1e-5,
+                               atol=1e-6)
