@@ -424,11 +424,11 @@ def _tiny_mask_cfg():
     )
 
 
-def test_golden_full_spine_panoptic():
+@pytest.fixture(scope="module")
+def ref_psalm():
+    """Tiny-Phi + Swin-B reference PSALM shared by the spine goldens, plus
+    our converted config/variables."""
     llava = load_ref("psalm.model.language_model.llava_phi")
-    from psalm_tpu.data.constants import (CLS_TOKEN_INDEX, IMAGE_TOKEN_INDEX,
-                                          SEG_TOKEN_INDEX)
-
     torch.manual_seed(6)
     mcfg = _tiny_mask_cfg()
     pcfg = llava.LlavaConfig(
@@ -449,6 +449,35 @@ def test_golden_full_spine_panoptic():
                 m.running_var.uniform_(0.5, 2.0)
     ref = ref.float()
     ref.eval()
+
+    from psalm_tpu.config import (PSALMConfig, PhiConfig as JPhiConfig,
+                                  swin_b)
+    from psalm_tpu.checkpoint.convert import convert_psalm_checkpoint
+    Q = 10
+    cfg = PSALMConfig(
+        phi=JPhiConfig(vocab_size=512, hidden_size=64, intermediate_size=128,
+                       num_layers=2, num_heads=4,
+                       max_position_embeddings=512),
+        swin=swin_b(),
+        projector=ProjectorConfig(input_dim=1024, out_dim=64),
+        pixel_decoder=PixelDecoderConfig(
+            conv_dim=32, mask_dim=32, transformer_enc_layers=2,
+            transformer_nheads=4, transformer_dim_feedforward=1024,
+            in_channels=(128, 256, 512, 1024)),
+        mask_decoder=MaskDecoderConfig(hidden_dim=32, num_queries=Q, nheads=4,
+                                       dim_feedforward=64, dec_layers=2,
+                                       mask_dim=32),
+        loss=LossConfig(train_num_points=16),
+        num_classes=2, image_size=64, compute_dtype="float32")
+    variables = jax.tree.map(jnp.asarray,
+                             convert_psalm_checkpoint(ref.state_dict(), cfg))
+    return llava, ref, cfg, variables
+
+
+def test_golden_full_spine_panoptic(ref_psalm):
+    llava, ref, our_cfg, our_variables = ref_psalm
+    from psalm_tpu.data.constants import (CLS_TOKEN_INDEX, IMAGE_TOKEN_INDEX,
+                                          SEG_TOKEN_INDEX)
 
     # ---- the logical sample (panoptic prompt shape, K=3 class names)
     B, K, N, Q = 2, 3, 3, 10
@@ -509,32 +538,14 @@ def test_golden_full_spine_panoptic():
     finally:
         torch.rand = real_rand
 
-    # ---- ours: convert the reference's full state dict + identical batch
-    from psalm_tpu.config import (PSALMConfig, PhiConfig as JPhiConfig,
-                                  swin_b)
-    from psalm_tpu.checkpoint.convert import convert_psalm_checkpoint
-    from psalm_tpu.data.splicer import splice, stack_samples
+    # ---- ours: identical batch through the converted variables
+    from psalm_tpu.data.splicer import splice
     from psalm_tpu.models.psalm import PSALM
     from psalm_tpu.train.criterion import (PSALMCriterion, set_assign_impl,
                                            set_uniform_fn)
 
-    cfg = PSALMConfig(
-        phi=JPhiConfig(vocab_size=512, hidden_size=64, intermediate_size=128,
-                       num_layers=2, num_heads=4,
-                       max_position_embeddings=512),
-        swin=swin_b(),
-        projector=ProjectorConfig(input_dim=1024, out_dim=64),
-        pixel_decoder=PixelDecoderConfig(
-            conv_dim=32, mask_dim=32, transformer_enc_layers=2,
-            transformer_nheads=4, transformer_dim_feedforward=1024,
-            in_channels=(128, 256, 512, 1024)),
-        mask_decoder=MaskDecoderConfig(hidden_dim=32, num_queries=Q, nheads=4,
-                                       dim_feedforward=64, dec_layers=2,
-                                       mask_dim=32),
-        loss=LossConfig(train_num_points=NUM_PTS),
-        num_classes=K - 1, image_size=64, compute_dtype="float32")
-    variables = convert_psalm_checkpoint(ref.state_dict(), cfg)
-    variables = jax.tree.map(jnp.asarray, variables)
+    cfg = our_cfg
+    variables = our_variables
 
     s = splice(ids, labels, num_image_tokens=1, num_seg_queries=Q,
                pad_len=256, class_name_ids=class_name_ids,
@@ -582,6 +593,121 @@ def test_golden_full_spine_panoptic():
         np.testing.assert_allclose(float(j_losses[ours_key]),
                                    float(ref_val), rtol=5e-3,
                                    err_msg=ours_key)
+
+
+def test_golden_mm_conv_chat_path(ref_psalm):
+    """Chat (mm_conv) batch: no seg tokens -> the reference's legacy LLaVA
+    splice (mm_conv_prepare_inputs_labels_for_multimodal, llava_phi.py:1181)
+    + shifted CE. Ours: the unified splicer + llm_ce_loss."""
+    llava, ref, cfg, variables = ref_psalm
+    from psalm_tpu.data.constants import IMAGE_TOKEN_INDEX
+    from psalm_tpu.data.splicer import splice
+    from psalm_tpu.models.psalm import PSALM
+    from psalm_tpu.train.train import llm_ce_loss
+
+    rng = np.random.default_rng(8)
+    B = 2
+    ids = [31, 32, IMAGE_TOKEN_INDEX, 33, 34, 35, 36]
+    labels = [-100, -100, -100, -100, 35, 36, 37]
+    images = rng.standard_normal((B, 3, 64, 64)).astype(np.float32)
+
+    t_ids = torch.tensor([ids] * B)
+    with torch.no_grad():
+        t_out = ref(input_ids=t_ids,
+                    attention_mask=torch.ones_like(t_ids, dtype=torch.bool),
+                    labels=torch.tensor([labels] * B),
+                    images=torch.from_numpy(images),
+                    dataset_type=["mm_conv"] * B)
+
+    # padded to 64 (> num_queries); trailing pads are causally masked so the
+    # first `length` positions' logits match the reference's unpadded run
+    s = splice(ids, labels, num_image_tokens=1, num_seg_queries=0,
+               pad_len=64)
+    batch = {k: jnp.asarray(np.asarray(v)[None].repeat(B, axis=0))
+             for k, v in s.as_dict().items()}
+    batch["images"] = jnp.asarray(images.transpose(0, 2, 3, 1))
+    model = PSALM(cfg)
+    out = model.apply(variables, batch, use_class_names=False)
+
+    L = s.length
+    np.testing.assert_allclose(np.asarray(out["logits"][:, :L], np.float32),
+                               _np(t_out.logits), rtol=5e-3, atol=5e-3,
+                               err_msg="mm_conv logits")
+    j_loss = llm_ce_loss(out["logits"], batch["labels"])
+    np.testing.assert_allclose(float(j_loss), float(t_out.loss), rtol=2e-3,
+                               err_msg="mm_conv llm CE")
+
+
+def test_golden_eval_seg_panoptic(ref_psalm):
+    """End-to-end eval path: reference eval_seg (llava_phi.py:1317-1475,
+    fp32, batch 1) vs our EvalRunner on a square un-padded image, where the
+    reference's crop-then-head order and our padded-res heads coincide —
+    compares the panoptic map + segments_info, the semantic argmax, and the
+    instance head's kept set."""
+    llava, ref, cfg, variables = ref_psalm
+    from psalm_tpu.data.constants import (CLS_TOKEN_INDEX, IMAGE_TOKEN_INDEX,
+                                          SEG_TOKEN_INDEX)
+    from psalm_tpu.data.splicer import splice
+    from psalm_tpu.eval.runner import EvalRunner
+    from psalm_tpu.models.psalm import PSALM
+
+    rng = np.random.default_rng(12)
+    K, Q = 3, 10
+    ids = [11, 12, IMAGE_TOKEN_INDEX, 13,
+           CLS_TOKEN_INDEX, CLS_TOKEN_INDEX, CLS_TOKEN_INDEX,
+           14, SEG_TOKEN_INDEX, 15, 16]
+    labels = [-100] * len(ids)
+    class_name_ids = np.array([21, 22, 23, 24, 25, 26], np.int64)
+    cls_indices = np.array([0, 0, 1, 2, 2, 2], np.int64)
+    images = rng.standard_normal((1, 3, 64, 64)).astype(np.float32)
+    is_thing = [True, False]
+
+    t_ids = torch.tensor([ids])
+    pad_np = np.zeros((64, 64), bool)
+    with torch.no_grad():
+        t_res = ref.eval_seg(
+            input_ids=t_ids,
+            attention_mask=torch.ones_like(t_ids, dtype=torch.bool),
+            labels=torch.tensor([labels]),
+            images=torch.from_numpy(images),
+            seg_info=[{"padding_mask": pad_np}],
+            class_name_ids=torch.from_numpy(class_name_ids[None]),
+            class_name_embedding_indices=(t_ids == CLS_TOKEN_INDEX).long(),
+            cls_indices=torch.from_numpy(cls_indices[None]),
+            is_thing_list=is_thing)[0]
+
+    s = splice(ids, labels, num_image_tokens=1, num_seg_queries=Q,
+               pad_len=64, class_name_ids=class_name_ids,
+               cls_indices=cls_indices)
+    batch = {k: np.asarray(v)[None] for k, v in s.as_dict().items()}
+    batch["images"] = images.transpose(0, 2, 3, 1)
+    batch["padding_mask"] = pad_np[None]
+    runner = EvalRunner(PSALM(cfg), variables, cfg, num_class_names=K,
+                        is_thing=is_thing)
+    out = runner.infer(batch)
+
+    t_pan, t_segments = t_res["panoptic_seg"]
+    np.testing.assert_array_equal(out["panoptic_seg"][0], _np(t_pan))
+    ours_segments = [
+        {"id": int(out["segments"]["id"][0][q]),
+         "isthing": bool(out["segments"]["isthing"][0][q]),
+         "category_id": int(out["segments"]["category"][0][q])}
+        for q in range(Q) if out["segments"]["valid"][0][q]]
+    assert ours_segments == t_segments
+
+    np.testing.assert_array_equal(
+        out["sem_seg"][0], _np(t_res["sem_seg"].argmax(0)))
+
+    inst = out["instances"] if "instances" in out else None
+    if inst is not None:
+        t_inst = t_res["instances"]
+        j = sorted((float(inst["scores"][0][i]), int(inst["classes"][0][i]))
+                   for i in range(Q) if bool(inst["keep"][0][i]))
+        t = sorted((float(sc), int(c)) for sc, c in
+                   zip(t_inst.scores, t_inst.pred_classes))
+        assert len(j) == len(t)
+        for (js, jc), (ts, tc) in zip(j, t):
+            assert abs(js - ts) < 1e-4 and jc == tc
 
 
 # ---------------------------------------------------------------------------
