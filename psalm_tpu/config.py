@@ -171,13 +171,19 @@ class PixelDecoderConfig:
     attention_mode: str = "deformable"
     # offset clamp radius (target-level px), window mode. The zero-kernel
     # offset head's bias init has magnitude <= enc_points = 4
-    # (ms_deform_attn.py:70-80), so 5 is exact at init; for trained
-    # checkpoints EvalRunner measures the clamp rate on the first batch and
-    # RAISES the radius to fit (eval/runner.py), so 5 is a fast default,
-    # not a correctness bound. Window width w = (tile-1)*f + 2R + 3; the
-    # t1 = Ay @ win HBM round-trip scales with w, R5 vs R8 is ~25% faster.
-    window_radius: float = 5.0
+    # (ms_deform_attn.py:70-80), so 4 is exact at init (clamp at the
+    # boundary is the identity); for trained checkpoints EvalRunner
+    # measures the clamp rate on the first batch and RAISES the radius to
+    # fit (eval/runner.py), so this is a fast default, not a correctness
+    # bound. Window width w = (tile-1)*f + 2R + 3; the t1 = Ay @ win HBM
+    # round-trip scales with w. Training overrides to 8 (train/train.py)
+    # for offset-growth headroom — there is no runtime guard inside a
+    # train step.
+    window_radius: float = 4.0
     window_tile: int = 16  # query tile side, window mode
+    # True: tile-scan t1 contraction (eval-optimal fwd); False: one einsum
+    # pair (train-optimal bwd). train/train.py flips this to False.
+    window_scan_tiles: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -66,6 +66,7 @@ class MSDeformAttnLayer(nn.Module):
     impl: Any = None
     window_radius: float = 8.0
     window_tile: int = 16
+    window_scan_tiles: bool = True
 
     @nn.compact
     def __call__(self, query, src, reference_points, spatial_shapes):
@@ -110,7 +111,8 @@ class MSDeformAttnLayer(nn.Module):
             from psalm_tpu.ops.msdeform_window import ms_deform_attn_window
             out = ms_deform_attn_window(value, spatial_shapes, loc, attn,
                                         tile=self.window_tile,
-                                        radius=self.window_radius)
+                                        radius=self.window_radius,
+                                        scan_tiles=self.window_scan_tiles)
         else:
             out = ms_deform_attn(value, spatial_shapes, loc, attn,
                                  impl=self.impl)
@@ -172,6 +174,7 @@ class EncoderLayer(nn.Module):
                 impl="window" if mode == "window" else None,
                 window_radius=getattr(c, "window_radius", 8.0),
                 window_tile=getattr(c, "window_tile", 16),
+                window_scan_tiles=getattr(c, "window_scan_tiles", True),
                 name="self_attn")(
                 src + pos, src, reference_points, spatial_shapes)
         src = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(src + src2)

@@ -140,10 +140,17 @@ def ms_deform_attn_window(
     tile: int = 16,
     radius: float = 8.0,
     head_chunk: int = 1,
+    scan_tiles: bool = True,
 ) -> jnp.ndarray:
     """Windowed MSDeformAttn. Same signature/convention as ms_deform_attn_xla
     (value [B,S,M,D], locations [B,Q,M,L,P,2] in [0,1], weights [B,Q,M,L,P]);
     requires the encoder case Q == S (falls back to the oracle otherwise).
+
+    scan_tiles: True (eval-optimal) scans window tiles so the t1 = Ay @ win
+    intermediate is a small reused buffer (faster forward, 9.75 vs 11.2 ms
+    per op on v5e); False (train-optimal) computes the tile batch with one
+    einsum pair whose backward parallelizes better (train step 1.94 s vs
+    2.16 s with the sequential scan VJP).
     """
     B, S, M, D = value.shape
     _, Q, _, L, P, _ = sampling_locations.shape
@@ -222,6 +229,12 @@ def ms_deform_attn_window(
                 Ax = _axis_weights(xh_, rx, sx_b, ww, Wv, radius,
                                    awh_.astype(dt), dt).reshape(
                     hc, B, T, nq * P, ww)
+
+                if not scan_tiles:
+                    # einsum pair: better-parallelizing backward (training)
+                    t1 = jnp.einsum("cbtsh,cbthk->cbtsk", Ay, wn)
+                    t1 = t1.reshape(hc, B, T, nq * P, ww, D)
+                    return jnp.einsum("cbtsw,cbtswd->cbtsd", Ax, t1)
 
                 # scan tiles: the t1 = Ay @ win intermediate per step is a
                 # ~2 MB buffer XLA reuses across iterations instead of one

@@ -133,6 +133,15 @@ class Trainer:
             if mode != "deformable":
                 import dataclasses as _dc
                 kw = dict(attention_mode=mode)
+                if mode == "window":
+                    # training headroom: offsets grow past the init magnitude
+                    # and no runtime radius guard exists inside a train step
+                    # (EvalRunner's auto-raise is eval-only)
+                    kw["window_radius"] = float(getattr(
+                        args, "window_radius", 8.0))
+                    # einsum-pair formulation: its backward parallelizes
+                    # better than the tile-scan's sequential VJP
+                    kw["window_scan_tiles"] = False
                 if mode == "dense":
                     kw["transformer_nheads"] = 2
                 cfg = cfg.replace(pixel_decoder=_dc.replace(
