@@ -176,3 +176,35 @@ def score_panoptic_against_official_gt(
         pr_segments = [dict(s, category_id=dataset_id_to_cont_id[
             s["category_id"]]) for s in p["segments_info"]]
         pq_stat.update(pr_map, pr_segments, gt_map, gt_segments)
+
+
+class SemSegPredictionWriter:
+    """sem_seg_predictions.json — per-class RLE records in the detectron2
+    SemSegEvaluator interchange format (the reference's my_SemSegEvaluator
+    inherits encode_json_sem_seg; panoptic_evaluation.py:146):
+    [{"file_name", "category_id", "segmentation": compressed RLE}, ...]."""
+
+    def __init__(self, output_dir: str):
+        self.output_dir = output_dir
+        self.records: List[Dict] = []
+        os.makedirs(output_dir, exist_ok=True)
+
+    def add(self, file_name: str, sem_map: np.ndarray) -> None:
+        """sem_map: [H, W] int class-id map at the original image size."""
+        for cat in np.unique(sem_map):
+            rle = rle_encode((sem_map == cat).astype(np.uint8))
+            counts = rle["counts"]
+            if isinstance(counts, bytes):
+                counts = counts.decode("ascii")
+            self.records.append({
+                "file_name": file_name,
+                "category_id": int(cat),
+                "segmentation": {"size": [int(x) for x in rle["size"]],
+                                 "counts": counts},
+            })
+
+    def finalize(self) -> str:
+        path = os.path.join(self.output_dir, "sem_seg_predictions.json")
+        with open(path, "w") as f:
+            json.dump(self.records, f)
+        return path

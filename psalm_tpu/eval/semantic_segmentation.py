@@ -101,6 +101,7 @@ class CommonSemanticDataset(BaseTaskDataset):
                 "original_hw": np.asarray(proc.original_hw),
                 "label": label, "chosen": np.asarray(chosen),
                 "num_class_names": K, "dataset_type": self.dataset_type,
+                "file_name": rec["image"],
                 "image_id": idx}
 
 
@@ -115,6 +116,7 @@ def parse_args():
                    help="subsample class list per image (OV eval)")
     p.add_argument("--ignore_label", type=int, default=255)
     p.add_argument("--model_max_length", type=int, default=2048)
+    p.add_argument("--output_dir", default=None)
     p.add_argument("--limit", type=int, default=0)
     return p.parse_args()
 
@@ -136,6 +138,10 @@ def evaluation(args, cfg=None, tokenizer=None, model=None, variables=None):
                                num_class=args.num_class,
                                ignore_label=args.ignore_label)
     meter = SemSegMeter(len(class_names), args.ignore_label)
+    writer = None
+    if getattr(args, "output_dir", None):
+        from psalm_tpu.eval.artifacts import SemSegPredictionWriter
+        writer = SemSegPredictionWriter(args.output_dir)
 
     n = min(len(ds), args.limit) if args.limit else len(ds)
     runner_cache = {}
@@ -157,11 +163,15 @@ def evaluation(args, cfg=None, tokenizer=None, model=None, variables=None):
         chosen = s["chosen"]
         sem_full = chosen[np.clip(sem, 0, len(chosen) - 1)]
         meter.update(sem_full, s["label"])
+        if writer is not None:
+            writer.add(s["file_name"], sem_full)
         if i % 100 == 0:
             print(f"[{i}/{n}] {meter.summarize()}")
 
     results = {"semantic": meter.summarize(),
                "images_per_sec": n / (time.time() - t0)}
+    if writer is not None:
+        print(f"wrote {writer.finalize()}")
     print(json.dumps(results, indent=2))
     return results
 
