@@ -61,6 +61,7 @@ def parse_args():
     p.add_argument("--image_folder", required=True)
     p.add_argument("--thr", type=float, default=0.6)
     p.add_argument("--model_max_length", type=int, default=2048)
+    p.add_argument("--output_dir", default=None)
     p.add_argument("--limit", type=int, default=0)
     return p.parse_args()
 
@@ -79,6 +80,10 @@ def evaluation(args, cfg=None, tokenizer=None, model=None, variables=None):
                           is_train=False)
     runner = EvalRunner(model, variables, cfg)
     meter = GRefCOCOMeter()
+    pred_writer = None
+    if getattr(args, "output_dir", None):
+        from psalm_tpu.eval.artifacts import RegionPredictionWriter
+        pred_writer = RegionPredictionWriter(args.output_dir, "grefcoco")
 
     n = min(len(ds), args.limit) if args.limit else len(ds)
     t0 = time.time()
@@ -102,12 +107,22 @@ def evaluation(args, cfg=None, tokenizer=None, model=None, variables=None):
             gt |= EvalRunner.restore_map(
                 s["gt_masks"][gi].astype(np.uint8), rh, ow).astype(bool)
         meter.update(pred, gt)
+        if pred_writer is not None:
+            pred_writer.add(s["file_name"], [pred], [gt])
         if i % 100 == 0:
             print(f"[{i}/{n}] cIoU={meter.ciou:.2f} gIoU={meter.giou:.2f}")
 
     results = {"grefcoco": {"cIoU": meter.ciou, "gIoU": meter.giou,
                             "thr": args.thr},
                "images_per_sec": n / (time.time() - t0)}
+    if pred_writer is not None:
+        # reference artifacts (eval_grefcoco.py tail): pkl + thr-suffixed txt
+        from psalm_tpu.eval.artifacts import write_metric_txt
+        msg = ("benchmark: grefcoco: thr {}, giou: {:.4f}, ciou: {:.4f}"
+               .format(args.thr, meter.giou / 100, meter.ciou / 100))
+        write_metric_txt(args.output_dir, f"grefcoco_{int(args.thr * 10)}",
+                         msg)
+        print(f"wrote {pred_writer.finalize()}")
     print(json.dumps(results, indent=2))
     return results
 

@@ -160,3 +160,19 @@ def test_referring_and_region_artifacts(tiny_model, synthetic, tmp_path):
     msg = open(os.path.join(
         out2, "pred_point_visual_prompt_mask.txt")).read()
     assert "giou" in msg and "ciou" in msg
+
+
+def test_grefcoco_artifacts(tiny_model, synthetic, tmp_path):
+    from psalm_tpu.eval.eval_grefcoco import evaluation
+    cfg, variables = tiny_model
+    root, inst_json = synthetic
+    out_dir = str(tmp_path / "gref")
+    evaluation(_args(inst_json, os.path.join(root, "val2017"), out_dir,
+                     thr=0.6),
+               cfg=cfg.replace(seg_task=SegTask.REFERRING),
+               tokenizer=StubTokenizer(),
+               model=PSALM(cfg.replace(seg_task=SegTask.REFERRING)),
+               variables=variables)
+    assert os.path.exists(os.path.join(out_dir, "pred_grefcoco.pkl"))
+    msg = open(os.path.join(out_dir, "pred_grefcoco_6.txt")).read()
+    assert msg.startswith("benchmark: grefcoco: thr 0.6")
