@@ -595,6 +595,96 @@ def test_golden_full_spine_panoptic(ref_psalm):
                                    err_msg=ours_key)
 
 
+def test_golden_full_spine_referring(ref_psalm):
+    """Referring-task spine: <refer> sentence splice, mean-pooled
+    SEG_embedding (llava_phi.py:972-978), SEG head + SEG/mask losses."""
+    llava, ref, cfg, variables = ref_psalm
+    from psalm_tpu.data.constants import (IMAGE_TOKEN_INDEX,
+                                          REFER_TOKEN_INDEX, SEG_TOKEN_INDEX)
+    from psalm_tpu.data.splicer import splice
+    from psalm_tpu.models.psalm import PSALM
+    from psalm_tpu.train.criterion import (PSALMCriterion, set_assign_impl,
+                                           set_uniform_fn)
+
+    rng = np.random.default_rng(13)
+    B, N, Q = 1, 2, 10
+    ids = [41, 42, IMAGE_TOKEN_INDEX, 43, REFER_TOKEN_INDEX,
+           44, SEG_TOKEN_INDEX, 45]
+    labels = [-100] * len(ids)
+    token_refer_id = np.array([51, 52, 53], np.int64)
+    images = rng.standard_normal((B, 3, 64, 64)).astype(np.float32)
+    gt_masks = (rng.uniform(size=(B, N, 64, 64)) > 0.6).astype(np.float32)
+    gt_labels = np.zeros((B, N), np.int64)
+
+    NUM_PTS, N_SAMPLED, N_RAND = 16, 48, 4
+    bases = {NUM_PTS: rng.uniform(size=(NUM_PTS, 2)).astype(np.float32),
+             N_SAMPLED: rng.uniform(size=(N_SAMPLED, 2)).astype(np.float32),
+             N_RAND: rng.uniform(size=(N_RAND, 2)).astype(np.float32)}
+    real_rand = torch.rand
+
+    def fixed_rand(*shape, **kw):
+        if len(shape) == 1 and isinstance(shape[0], (tuple, list)):
+            shape = tuple(shape[0])
+        if len(shape) == 3 and shape[-1] == 2 and shape[-2] in bases:
+            t = torch.from_numpy(bases[shape[-2]])
+            return t.expand(shape[0], *t.shape).clone()
+        return real_rand(*shape, **kw)
+
+    import detectron2.structures as d2s
+    inst = d2s.Instances((64, 64))
+    inst.gt_masks = torch.from_numpy(gt_masks[0])
+    inst.gt_classes = torch.from_numpy(gt_labels[0])
+
+    t_ids = torch.tensor([ids])
+    torch.rand = fixed_rand
+    try:
+        with torch.no_grad():
+            t_out = ref(
+                input_ids=t_ids,
+                attention_mask=torch.ones_like(t_ids, dtype=torch.bool),
+                labels=torch.tensor([labels]),
+                images=torch.from_numpy(images),
+                seg_info=[{"instances": inst}],
+                token_refer_id=torch.from_numpy(token_refer_id[None]),
+                refer_embedding_indices=(t_ids == REFER_TOKEN_INDEX).long(),
+                dataset_type=["referring"])
+    finally:
+        torch.rand = real_rand
+
+    s = splice(ids, labels, num_image_tokens=1, num_seg_queries=Q,
+               pad_len=64, token_refer_id=token_refer_id)
+    batch = {k: jnp.asarray(np.asarray(v)[None]) for k, v in
+             s.as_dict().items()}
+    batch["images"] = jnp.asarray(images.transpose(0, 2, 3, 1))
+    model = PSALM(cfg)
+    out = model.apply(variables, batch, use_class_names=False,
+                      use_seg_embedding=True)
+
+    def fixed_uniform(key, shape, *a, **k):
+        assert shape[-1] == 2 and shape[-2] in bases, shape
+        return jnp.broadcast_to(jnp.asarray(bases[shape[-2]]), shape)
+
+    crit = PSALMCriterion(cfg.loss, Q, per_mask_uncertainty=True)
+    targets = {"masks": jnp.asarray(gt_masks),
+               "labels": jnp.asarray(gt_labels),
+               "valid": jnp.ones((B, N), bool)}
+    set_uniform_fn(fixed_uniform)
+    set_assign_impl("scipy")
+    try:
+        j_losses = crit(jax.random.PRNGKey(0), out, targets,
+                        compute_seg=True, compute_class=False,
+                        compute_region=False)
+    finally:
+        set_uniform_fn(None)
+
+    for ours_key, ref_val in [("loss_mask", t_out.loss_mask),
+                              ("loss_dice", t_out.loss_dice),
+                              ("loss_SEG_class", t_out.loss_SEG_class)]:
+        np.testing.assert_allclose(float(j_losses[ours_key]),
+                                   float(ref_val), rtol=5e-3,
+                                   err_msg=ours_key)
+
+
 def test_golden_mm_conv_chat_path(ref_psalm):
     """Chat (mm_conv) batch: no seg tokens -> the reference's legacy LLaVA
     splice (mm_conv_prepare_inputs_labels_for_multimodal, llava_phi.py:1181)
