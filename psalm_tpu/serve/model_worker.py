@@ -156,7 +156,8 @@ class ModelWorker:
             try:
                 toks = self.generator.generate(
                     batch, max_new_tokens=max_new_tokens,
-                    temperature=temperature, eos_id=eos)
+                    temperature=temperature, eos_id=eos,
+                    chunk_size=int(params.get("chunk_size", 8)))
                 for i in range(toks.shape[1]):
                     piece = self.tokenizer.decode(toks[0, :i + 1].tolist(),
                                                   skip_special_tokens=True)
