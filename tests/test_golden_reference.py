@@ -685,6 +685,114 @@ def test_golden_full_spine_referring(ref_psalm):
                                    err_msg=ours_key)
 
 
+def test_golden_full_spine_region(ref_psalm):
+    """Interactive/region spine: visual-prompt point sampling
+    (region_pooling, context_cluster.py:333-410), region embeddings through
+    the LLM, region head + region/mask losses. Randomness is eliminated by
+    giving each region mask EXACTLY num_sample_point=256 nonzero pixels —
+    rand_sample_repeat is then the identity, and our batch feeds the same
+    points in the same (nonzero row-major, (x, y)-normalized) order."""
+    llava, ref, cfg, variables = ref_psalm
+    from psalm_tpu.data.constants import (IMAGE_TOKEN_INDEX,
+                                          REGION_TOKEN_INDEX, SEG_TOKEN_INDEX)
+    from psalm_tpu.data.splicer import splice
+    from psalm_tpu.models.psalm import PSALM
+    from psalm_tpu.train.criterion import (PSALMCriterion, set_assign_impl,
+                                           set_uniform_fn)
+
+    rng = np.random.default_rng(14)
+    B, R, Q, IMG = 1, 2, 10, 128  # 128 px -> a 2x2 image-token map
+    ids = [61, 62, IMAGE_TOKEN_INDEX, 63, REGION_TOKEN_INDEX,
+           REGION_TOKEN_INDEX, 64, SEG_TOKEN_INDEX, 65]
+    labels = [-100] * len(ids)
+    images = rng.standard_normal((B, 3, IMG, IMG)).astype(np.float32)
+
+    region_masks = np.zeros((R, IMG, IMG), np.float32)
+    region_masks[0, 10:26, 20:36] = 1.0   # 16x16 = 256 pixels exactly
+    region_masks[1, 70:86, 90:106] = 1.0
+    gt_masks = region_masks[None]
+    gt_labels = np.zeros((B, R), np.int64)
+
+    NUM_PTS, N_SAMPLED, N_RAND = 16, 48, 4
+    bases = {NUM_PTS: rng.uniform(size=(NUM_PTS, 2)).astype(np.float32),
+             N_SAMPLED: rng.uniform(size=(N_SAMPLED, 2)).astype(np.float32),
+             N_RAND: rng.uniform(size=(N_RAND, 2)).astype(np.float32)}
+    real_rand = torch.rand
+
+    def fixed_rand(*shape, **kw):
+        if len(shape) == 1 and isinstance(shape[0], (tuple, list)):
+            shape = tuple(shape[0])
+        if len(shape) == 3 and shape[-1] == 2 and shape[-2] in bases:
+            t = torch.from_numpy(bases[shape[-2]])
+            return t.expand(shape[0], *t.shape).clone()
+        return real_rand(*shape, **kw)
+
+    import types as _types
+    import detectron2.structures as d2s
+    inst = d2s.Instances((IMG, IMG))
+    inst.gt_masks = torch.from_numpy(gt_masks[0])
+    inst.gt_classes = torch.from_numpy(gt_labels[0])
+    inst.region_masks = _types.SimpleNamespace(
+        tensor=torch.from_numpy(region_masks))
+
+    t_ids = torch.tensor([ids])
+    torch.rand = fixed_rand
+    try:
+        with torch.no_grad():
+            t_out = ref(
+                input_ids=t_ids,
+                attention_mask=torch.ones_like(t_ids, dtype=torch.bool),
+                labels=torch.tensor([labels]),
+                images=torch.from_numpy(images),
+                seg_info=[{"instances": inst}],
+                dataset_type=["region"])
+    finally:
+        torch.rand = real_rand
+
+    # ---- ours: identical points (nonzero row-major, (x, y) = (col/W, row/H))
+    P = 256
+    pts = np.zeros((B, R, P, 2), np.float32)
+    for r in range(R):
+        rows, cols = np.nonzero(region_masks[r])
+        pts[0, r, :, 0] = cols / IMG
+        pts[0, r, :, 1] = rows / IMG
+
+    s = splice(ids, labels, num_image_tokens=4, num_seg_queries=Q,
+               pad_len=64, num_regions=R)
+    batch = {k: jnp.asarray(np.asarray(v)[None]) for k, v in
+             s.as_dict().items()}
+    batch["images"] = jnp.asarray(images.transpose(0, 2, 3, 1))
+    batch["region_points"] = jnp.asarray(pts)
+    batch["region_valid"] = jnp.ones((B, R), bool)
+    model = PSALM(cfg)
+    out = model.apply(variables, batch, use_class_names=False,
+                      use_regions=True, max_regions=R)
+
+    def fixed_uniform(key, shape, *a, **k):
+        assert shape[-1] == 2 and shape[-2] in bases, shape
+        return jnp.broadcast_to(jnp.asarray(bases[shape[-2]]), shape)
+
+    crit = PSALMCriterion(cfg.loss, Q, per_mask_uncertainty=True)
+    targets = {"masks": jnp.asarray(gt_masks),
+               "labels": jnp.asarray(gt_labels),
+               "valid": jnp.ones((B, R), bool)}
+    set_uniform_fn(fixed_uniform)
+    set_assign_impl("scipy")
+    try:
+        j_losses = crit(jax.random.PRNGKey(0), out, targets,
+                        compute_seg=False, compute_class=False,
+                        compute_region=True)
+    finally:
+        set_uniform_fn(None)
+
+    for ours_key, ref_val in [("loss_mask", t_out.loss_mask),
+                              ("loss_dice", t_out.loss_dice),
+                              ("loss_region_class", t_out.loss_region_class)]:
+        np.testing.assert_allclose(float(j_losses[ours_key]),
+                                   float(ref_val), rtol=5e-3,
+                                   err_msg=ours_key)
+
+
 def test_golden_mm_conv_chat_path(ref_psalm):
     """Chat (mm_conv) batch: no seg tokens -> the reference's legacy LLaVA
     splice (mm_conv_prepare_inputs_labels_for_multimodal, llava_phi.py:1181)
