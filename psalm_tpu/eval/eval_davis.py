@@ -31,6 +31,30 @@ from psalm_tpu.eval.runner import EvalRunner
 from psalm_tpu.models.builder import load_pretrained_model
 
 
+def davis_palette() -> bytes:
+    """The DAVIS-2017 256-entry palette (PASCAL VOC colormap). Saving with
+    an explicit palette is REQUIRED for correctness, not cosmetics: PIL
+    optimizes bare P-mode PNGs and silently REMAPS sparse palette indices
+    (e.g. fills {0, 2} become {0, 1}), which would corrupt the object ids
+    the official toolkit reads back."""
+    pal = np.zeros((256, 3), np.uint8)
+    for i in range(256):
+        c, v = i, np.zeros(3, np.uint8)
+        for j in range(8):
+            v[0] |= ((c >> 0) & 1) << (7 - j)
+            v[1] |= ((c >> 1) & 1) << (7 - j)
+            v[2] |= ((c >> 2) & 1) << (7 - j)
+            c >>= 3
+        pal[i] = v
+    return pal.reshape(-1).tobytes()
+
+
+def save_indexed_png(path: str, arr: np.ndarray) -> None:
+    img = Image.fromarray(arr.astype(np.uint8), mode="P")
+    img.putpalette(davis_palette())
+    img.save(path)
+
+
 def fuse_davis_mask(mask_list, fill_numbers, shape):
     fused = np.zeros(shape, np.uint8)
     for mask, fill in zip(mask_list, fill_numbers):
@@ -157,8 +181,7 @@ def evaluation(args, cfg=None, tokenizer=None, model=None, variables=None):
         out_path = os.path.join(args.output_dir, video)
         os.makedirs(out_path, exist_ok=True)
         frame_name = os.path.splitext(os.path.basename(rec["image"]))[0]
-        Image.fromarray(fused, mode="P").save(
-            os.path.join(out_path, frame_name + ".png"))
+        save_indexed_png(os.path.join(out_path, frame_name + ".png"), fused)
 
         if args.with_memory:
             ok = True

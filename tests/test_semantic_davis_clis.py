@@ -123,3 +123,12 @@ def test_davis_eval_cli_memory_and_pngs(tiny_model, tmp_path):
     fused = np.asarray(Image.open(out_dir / "bear" / "00000.png"))
     assert fused.shape == (48, 64)
     assert set(np.unique(fused)) <= {0, 1, 2}
+
+    # sparse-fill preservation: PIL must NOT remap index 2 -> 1 when fill 1
+    # is absent (the palette-less P-mode save did exactly that)
+    from psalm_tpu.eval.eval_davis import save_indexed_png
+    sparse = np.zeros((8, 8), np.uint8)
+    sparse[2:5, 2:5] = 2
+    save_indexed_png(str(out_dir / "sparse.png"), sparse)
+    back = np.asarray(Image.open(out_dir / "sparse.png"))
+    assert set(np.unique(back)) == {0, 2}
