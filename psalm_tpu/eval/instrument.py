@@ -16,7 +16,7 @@ covers init with 2x margin; trained checkpoints must be validated with
 
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Dict
 
 import jax
 import numpy as np

@@ -9,7 +9,6 @@ reused across positions — static shapes, no per-step retrace.
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, List, Optional
 
 import numpy as np

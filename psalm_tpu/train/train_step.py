@@ -14,7 +14,7 @@ Recipe defaults follow scripts/train.sh:23-35 — lr 6e-5 cosine, warmup ratio
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
