@@ -908,6 +908,95 @@ def test_golden_eval_seg_panoptic(ref_psalm):
             assert abs(js - ts) < 1e-4 and jc == tc
 
 
+def test_golden_eval_video_vp_path(ref_psalm):
+    """DAVIS video path: PSALMForDAVISEval.eval_video samples the region
+    prompts from the PREVIOUS frame's features (vp_images,
+    llava_phi.py:1639-1670) — vs our EvalRunner with vp_images in the batch.
+    Same determinism trick as the region spine golden (256-pixel masks)."""
+    llava, ref, cfg, variables = ref_psalm
+    import dataclasses
+    import types as _types
+    from psalm_tpu.data.constants import (IMAGE_TOKEN_INDEX,
+                                          REGION_TOKEN_INDEX, SEG_TOKEN_INDEX)
+    from psalm_tpu.data.splicer import splice
+    from psalm_tpu.eval.runner import EvalRunner
+    from psalm_tpu.models.psalm import PSALM
+
+    # a region-task reference twin sharing the fixture's weights
+    mcfg = _tiny_mask_cfg()
+    mcfg.MODEL.MASK_FORMER.SEG_TASK = "region"
+    import copy
+    dcfg_phi = copy.deepcopy(ref.config)
+    if hasattr(dcfg_phi, "mm_vision_tower"):
+        delattr(dcfg_phi, "mm_vision_tower")  # rebuild the tower explicitly
+    ref_davis = llava.PSALMForDAVISEval(dcfg_phi, mask_decoder_cfg=mcfg)
+    ref_davis.get_model().initialize_vision_modules(_ns(
+        vision_tower=None, with_norm=True, with_layernorm=True,
+        pretrain_mm_mlp_adapter=None, mm_projector_type="swin_conv",
+        swin_type="base"))
+    ref_davis.initial_mask_module()
+    missing = ref_davis.load_state_dict(ref.state_dict(), strict=False)
+    assert not missing.missing_keys, missing.missing_keys[:5]
+    ref_davis = ref_davis.float()
+    ref_davis.eval()
+
+    rng = np.random.default_rng(15)
+    R, Q, IMG = 2, 10, 128
+    ids = [71, 72, IMAGE_TOKEN_INDEX, 73, REGION_TOKEN_INDEX,
+           REGION_TOKEN_INDEX, 74, SEG_TOKEN_INDEX, 75]
+    images = rng.standard_normal((1, 3, IMG, IMG)).astype(np.float32)
+    vp_images = rng.standard_normal((1, 3, IMG, IMG)).astype(np.float32)
+    vp_masks = np.zeros((R, IMG, IMG), np.float32)
+    vp_masks[0, 10:26, 20:36] = 1.0   # exactly 256 pixels each
+    vp_masks[1, 70:86, 90:106] = 1.0
+
+    inst = _HeadStubInstances = None
+    import detectron2.structures as d2s
+    inst = d2s.Instances((IMG, IMG))
+    inst.vp_region_masks = _types.SimpleNamespace(
+        tensor=torch.from_numpy(vp_masks))
+    inst.gt_masks = torch.from_numpy(vp_masks)
+
+    t_ids = torch.tensor([ids])
+    pad_np = np.zeros((IMG, IMG), bool)
+    with torch.no_grad():
+        t_res = ref_davis.eval_video(
+            input_ids=t_ids,
+            attention_mask=torch.ones_like(t_ids, dtype=torch.bool),
+            images=torch.from_numpy(images),
+            vp_images=torch.from_numpy(vp_images),
+            seg_info=[{"instances": inst, "padding_mask": pad_np}],
+            is_thing_list=[True, True])[0]
+    t_inst = t_res["instances"]
+
+    # ---- ours
+    pts = np.zeros((1, R, 256, 2), np.float32)
+    for r in range(R):
+        rows, cols = np.nonzero(vp_masks[r])
+        pts[0, r, :, 0] = cols / IMG
+        pts[0, r, :, 1] = rows / IMG
+    s = splice(ids, None, num_image_tokens=4, num_seg_queries=Q,
+               pad_len=64, num_regions=R)
+    batch = {k: np.asarray(v)[None] for k, v in s.as_dict().items()}
+    batch["images"] = images.transpose(0, 2, 3, 1)
+    batch["vp_images"] = vp_images.transpose(0, 2, 3, 1)
+    batch["region_points"] = pts
+    batch["region_valid"] = np.ones((1, R), bool)
+    batch["padding_mask"] = pad_np[None]
+
+    cfg_r = dataclasses.replace(cfg, image_size=IMG)
+    cfg_r = cfg_r.replace(seg_task=__import__(
+        "psalm_tpu.config", fromlist=["SegTask"]).SegTask.REGION)
+    runner = EvalRunner(PSALM(cfg_r), variables, cfg_r)
+    out = runner.infer(batch)
+    reg = out["region"]
+
+    np.testing.assert_allclose(np.asarray(reg["scores"][0]),
+                               _np(t_inst.scores), rtol=5e-3, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(reg["masks"][0]),
+                                  _np(t_inst.pred_masks) > 0.5)
+
+
 # ---------------------------------------------------------------------------
 # 8. Inference heads (llava_phi.py:308-447) — the panoptic greedy-merge loop
 #    vs our vectorized reformulation (exact tie behavior), plus the
