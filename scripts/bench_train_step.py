@@ -36,6 +36,10 @@ MODES = sys.argv[1:] or ["window"]
 def bench_mode(mode: str) -> float:
     cfg = PSALMConfig(compute_dtype="bfloat16")
     pd_kw = dict(attention_mode=mode)
+    if mode == "window":
+        # mirror train/train.py's training settings: radius headroom 8 and
+        # the einsum-pair formulation (better-parallelizing backward)
+        pd_kw.update(window_radius=8.0, window_scan_tiles=False)
     if mode == "dense":
         pd_kw["transformer_nheads"] = 2
     cfg = cfg.replace(
