@@ -1036,10 +1036,11 @@ def _head_inputs(seed=9, Q=10, K=6, H=24, W=32):
     return class_logits, mask_logits, is_thing
 
 
-def test_golden_panoptic_merge():
+@pytest.mark.parametrize("seed", [9, 21, 22, 23, 24, 25, 26, 27])
+def test_golden_panoptic_merge(seed):
     llava = load_ref("psalm.model.language_model.llava_phi")
     from psalm_tpu.eval.postprocess import panoptic_inference
-    class_logits, mask_logits, is_thing = _head_inputs()
+    class_logits, mask_logits, is_thing = _head_inputs(seed=seed)
     stub = _HeadStub(10, is_thing, 10)
     with torch.no_grad():
         t_pan, t_info = llava.PSALM.class_name_panoptic_inference(
@@ -1055,9 +1056,10 @@ def test_golden_panoptic_merge():
              "category_id": int(j_info["category"][q])}
             for q in range(10) if j_info["valid"][q]]
     assert ours == t_info
-    # the fixture must actually exercise merging and acceptance
-    assert len(t_info) >= 2
-    assert len(set(s["id"] for s in t_info)) == len(t_info)
+    # the canonical fixture must actually exercise merging and acceptance
+    if seed == 9:
+        assert len(t_info) >= 2
+        assert len(set(s["id"] for s in t_info)) == len(t_info)
 
 
 def test_golden_instance_head():
