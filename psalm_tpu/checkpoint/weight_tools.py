@@ -78,8 +78,11 @@ def initialize_vision_tokenizer(variables: Dict[str, Any], tokenizer,
 
     params = variables["params"]
     phi = params["phi"]
-    emb = np.asarray(phi["model"]["embed_tokens"]["embedding"])
-    head = np.asarray(phi["lm_head"]["kernel"])  # [D, V]
+    # copy=True: the grow==0 path below writes emb[-start_end_new:] in
+    # place; np.asarray would alias the caller's leaves and mutate the
+    # input tree, breaking this function's pure return-value contract
+    emb = np.array(phi["model"]["embed_tokens"]["embedding"], copy=True)
+    head = np.array(phi["lm_head"]["kernel"], copy=True)  # [D, V]
     new_vocab = len(tokenizer)
     grow = new_vocab - emb.shape[0]
     assert grow >= 0

@@ -128,6 +128,10 @@ class PanopticDataset(BaseTaskDataset):
         with open(ann_path) as f:
             meta = json.load(f)
         self.data = meta["annotations"]
+        # original sizes (when the json carries an images table) let eval
+        # CLIs pick a tight original-resolution bucket for the heads
+        self.image_sizes = [(im["height"], im["width"])
+                            for im in meta.get("images", [])] or None
         cats = meta["categories"]
         self.coco_id_to_cont_id = {c["id"]: i for i, c in enumerate(cats)}
         self.is_thing = [bool(c["isthing"]) for c in cats]

@@ -166,9 +166,21 @@ def score_panoptic_against_official_gt(
     # image must exist in the GT
     for p in pred["annotations"]:
         img_id = p["image_id"]
+        if img_id not in gt_by_img:
+            raise KeyError(
+                f"predicted image_id {img_id!r} has no ground-truth "
+                f"annotation in {gt_json}")
         ann = gt_by_img[img_id]
-        gt_png = cv2.imread(os.path.join(gt_png_dir, ann["file_name"]))[..., ::-1]
-        pr_png = cv2.imread(os.path.join(pred_dir, p["file_name"]))[..., ::-1]
+        gt_path = os.path.join(gt_png_dir, ann["file_name"])
+        pr_path = os.path.join(pred_dir, p["file_name"])
+        gt_png = cv2.imread(gt_path)
+        pr_png = cv2.imread(pr_path)
+        if gt_png is None:
+            raise FileNotFoundError(f"unreadable ground-truth PNG: {gt_path}")
+        if pr_png is None:
+            raise FileNotFoundError(f"unreadable prediction PNG: {pr_path}")
+        gt_png = gt_png[..., ::-1]
+        pr_png = pr_png[..., ::-1]
         gt_map = rgb2id(gt_png.astype(np.int64))
         pr_map = rgb2id(pr_png.astype(np.int64))
         gt_segments = [dict(s, category_id=dataset_id_to_cont_id[

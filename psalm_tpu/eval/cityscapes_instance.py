@@ -69,7 +69,7 @@ def evaluation(args, cfg=None, tokenizer=None, model=None, variables=None):
         out = runner.infer(collate([s]))
         inst = out["instances"]
         rh, ow = s["resized_hw"], s["original_hw"]
-        masks = EvalRunner.restore_masks(inst["masks"][0], rh, ow)
+        masks = inst["masks"][0]  # already at original resolution
         n_gt = int(s["gt_valid"].sum())
         gt_masks = EvalRunner.restore_masks(
             s["gt_masks"][:n_gt].astype(np.uint8), rh, ow) if n_gt else \

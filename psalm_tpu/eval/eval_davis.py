@@ -99,6 +99,8 @@ class DavisFrameBuilder:
         batch["padding_mask"] = proc.padding_mask[None]
         batch["region_points"] = pts[None]
         batch["region_valid"] = valid[None]
+        batch["resized_hw"] = np.asarray(proc.resized_hw)[None]
+        batch["original_hw"] = np.asarray(proc.original_hw)[None]
         return batch, proc
 
 
@@ -172,8 +174,7 @@ def evaluation(args, cfg=None, tokenizer=None, model=None, variables=None):
             pick = next((int(q) for q in order if int(q) not in taken),
                         int(order[0]))
             taken.append(pick)
-            m = EvalRunner.restore_map(masks[pick].astype(np.uint8),
-                                       proc.resized_hw, (H, W))
+            m = masks[pick].astype(np.uint8)  # already at original (H, W)
             pred_masks.append(m)
             fill_list.append(fills[r])
 

@@ -99,7 +99,7 @@ def evaluation(args, cfg=None, tokenizer=None, model=None, variables=None):
         fused = fuse_masks(over)
         if fused is None:
             fused = masks[int(np.argmax(scores))]
-        pred = EvalRunner.restore_map(fused.astype(np.uint8), rh, ow).astype(bool)
+        pred = np.asarray(fused, bool)  # already at original resolution
 
         n_gt = int(s["gt_valid"].sum())
         gt = np.zeros(tuple(ow), bool)

@@ -46,8 +46,10 @@ def evaluation(args, cfg=None, tokenizer=None, model=None, variables=None):
                       pad_len=args.model_max_length)
     ds = PanopticDataset(args.json_path, tokenizer, dcfg, is_train=False)
     K = len(ds.coco_class_name)
+    from psalm_tpu.eval.runner import bucket_for_sizes
+    bucket = bucket_for_sizes(ds.image_sizes) if ds.image_sizes else None
     runner = EvalRunner(model, variables, cfg, num_class_names=K,
-                        is_thing=ds.is_thing + [False])
+                        is_thing=ds.is_thing + [False], bucket_hw=bucket)
 
     pq_stat = PQStat()
     sem_meter = SemSegMeter(num_classes=K - 1)
@@ -71,7 +73,8 @@ def evaluation(args, cfg=None, tokenizer=None, model=None, variables=None):
         out = runner.infer(batch)
         for b, s in enumerate(samples):
             rh, ow = s["resized_hw"], s["original_hw"]
-            pan = EvalRunner.restore_map(out["panoptic_seg"][b], rh, ow)
+            # predictions come back at original resolution (crop-then-head)
+            pan = out["panoptic_seg"][b]
             seg_info = out["segments"]
             pred_segments = [
                 {"id": int(seg_info["id"][b][q]),
@@ -94,7 +97,7 @@ def evaluation(args, cfg=None, tokenizer=None, model=None, variables=None):
                                     "category_id": int(s["gt_labels"][gi])})
             pq_stat.update(pan, pred_segments, gt_map, gt_segments)
 
-            sem = EvalRunner.restore_map(out["sem_seg"][b], rh, ow)
+            sem = out["sem_seg"][b]
             gt_sem = np.full(tuple(ow), 255, np.int32)
             for gi in range(int(s["gt_valid"].sum())):
                 m = EvalRunner.restore_map(

@@ -64,7 +64,12 @@ def panoptic_inference(
     hard = masks >= 0.5
     win = mask_ids[None] == jnp.arange(Q)[:, None, None]  # [Q, H, W]
     final = win & hard
-    mask_area = jnp.sum(win & keep[:, None, None], axis=(1, 2))
+    # mask_area counts only image pixels: the reference's heads run on the
+    # cropped (H, W) image, so the padded/bucket region must not count
+    # toward the winner's area (hard/final are already zero there because
+    # masks is zeroed at invalid pixels, but argmax still "wins" somewhere)
+    win_img = win if valid_mask is None else win & valid_mask[None]
+    mask_area = jnp.sum(win_img & keep[:, None, None], axis=(1, 2))
     original_area = jnp.sum(hard, axis=(1, 2))
     final_area = jnp.sum(final, axis=(1, 2))
 

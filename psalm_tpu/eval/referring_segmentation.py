@@ -58,8 +58,7 @@ def evaluation(args, cfg=None, tokenizer=None, model=None, variables=None):
             rh, ow = s["resized_hw"], s["original_hw"]
             # top-1 by SEG score x mask quality (SEG_instance_inference)
             top = int(np.argmax(ref["scores"][b]))
-            pred = EvalRunner.restore_map(
-                ref["masks"][b][top].astype(np.uint8), rh, ow).astype(bool)
+            pred = ref["masks"][b][top].astype(bool)  # original resolution
             n_gt = int(s["gt_valid"].sum())
             gt = np.zeros(tuple(ow), bool)
             for gi in range(n_gt):

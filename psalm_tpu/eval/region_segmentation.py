@@ -69,10 +69,15 @@ def evaluation(args, cfg=None, tokenizer=None, model=None, variables=None):
             for r in range(min(n_reg, int(s["gt_valid"].sum()))):
                 # best query per region prompt (region_inference scores [Q, R])
                 top = int(np.argmax(reg["scores"][b][:, r]))
-                pred = EvalRunner.restore_map(
-                    reg["masks"][b][top].astype(np.uint8), rh, ow).astype(bool)
+                pred = reg["masks"][b][top].astype(bool)  # original res
+                # the reference bilinearly restores gt (sem_seg_postprocess,
+                # llava_phi.py:1461-1464) then TRUNCATES to uint8
+                # (region eval parse_outputs: .astype(np.uint8)) — only
+                # exactly-1.0 pixels survive, eroding mask boundaries;
+                # reproduced for score parity
                 gt = EvalRunner.restore_map(
-                    s["gt_masks"][r].astype(np.uint8), rh, ow).astype(bool)
+                    s["gt_masks"][r].astype(np.float32), rh, ow,
+                    nearest=False).astype(np.uint8).astype(bool)
                 meter.update(pred, gt)
                 preds.append(pred)
                 gts.append(gt)

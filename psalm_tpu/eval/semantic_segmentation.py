@@ -156,9 +156,10 @@ def evaluation(args, cfg=None, tokenizer=None, model=None, variables=None):
         batch = collate([s])
         out = runner.infer({k: v for k, v in batch.items()
                             if k not in ("label", "chosen")})
-        sem = np.argmax(out["sem_seg"][0], axis=0)
-        sem = EvalRunner.restore_map(sem.astype(np.int32), s["resized_hw"],
-                                     s["original_hw"])
+        # runner returns the argmax id map already at original resolution
+        # (head at padded res -> bilinear restore -> argmax, the reference's
+        # sem_seg_postprocess_before_inference=False order)
+        sem = np.asarray(out["sem_seg"][0], np.int32)
         # map subsampled positions back to original class ids
         chosen = s["chosen"]
         sem_full = chosen[np.clip(sem, 0, len(chosen) - 1)]

@@ -87,6 +87,10 @@ class Generator:
         """chunk_size: tokens decoded per device dispatch. The stream
         callback still receives one [B] array per token; EOS is honored at
         token granularity (tokens past a sequence's EOS are dropped)."""
+        # clamp: chunk_size flows in from client requests (model_worker);
+        # 0 would loop forever, negatives raise inside lax.scan, and each
+        # distinct value is a static jit arg -> a fresh compile, so cap it
+        chunk_size = max(1, min(int(chunk_size), 64))
         B = batch["tok_ids"].shape[0]
         caches = self.model.apply(
             self.variables, B, self.max_len,

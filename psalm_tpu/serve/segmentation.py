@@ -77,6 +77,8 @@ class SegmentService:
     def _base_sample(self, image: np.ndarray, dataset_type: str):
         proc = self.mapper.transform_image(image)
         return proc, {"images": proc.image, "padding_mask": proc.padding_mask,
+                      "resized_hw": np.asarray(proc.resized_hw),
+                      "original_hw": np.asarray(proc.original_hw),
                       "dataset_type": dataset_type}
 
     def _class_name_sample(self, image: np.ndarray, task_name: str,
@@ -100,9 +102,7 @@ class SegmentService:
         proc, batch = self._class_name_sample(
             image, "Panoptic Segmentation", "panoptic_coco")
         out = self._runner(SegTask.PANOPTIC).infer(batch)
-        from psalm_tpu.eval.runner import EvalRunner
-        pan = EvalRunner.restore_map(out["panoptic_seg"][0].astype(np.int32),
-                                     proc.resized_hw, proc.original_hw)
+        pan = np.asarray(out["panoptic_seg"][0], np.int32)  # original res
         info = {k: np.asarray(v[0]) for k, v in out["segments"].items()}
         segments: List[Dict[str, Any]] = []
         for q in np.nonzero(info["valid"])[0]:
@@ -126,9 +126,7 @@ class SegmentService:
         proc, batch = self._class_name_sample(
             image, "Semantic Segmentation", "semantic_coco")
         out = self._runner(SegTask.SEMANTIC).infer(batch)
-        from psalm_tpu.eval.runner import EvalRunner
-        sem = np.argmax(out["sem_seg"][0], axis=0).astype(np.int32)
-        sem = EvalRunner.restore_map(sem, proc.resized_hw, proc.original_hw)
+        sem = np.asarray(out["sem_seg"][0], np.int32)  # original res
         classes = []
         for c in np.unique(sem):
             c = int(c)
@@ -154,9 +152,7 @@ class SegmentService:
         out = self._runner(SegTask.REFERRING).infer(batch)
         ref = {k: np.asarray(v[0]) for k, v in out["referring"].items()}
         best = int(np.argmax(ref["scores"]))
-        from psalm_tpu.eval.runner import EvalRunner
-        mask = EvalRunner.restore_map(ref["masks"][best].astype(np.uint8),
-                                      proc.resized_hw, proc.original_hw)
+        mask = np.asarray(ref["masks"][best])  # original resolution
         return {"rle": _jsonable_rle(coco_rle.encode(mask.astype(bool))),
                 "score": float(ref["scores"][best]),
                 "height": int(proc.original_hw[0]),

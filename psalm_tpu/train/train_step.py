@@ -73,7 +73,13 @@ def _zero_spec(shape, base: P, n: int) -> P:
     on the first free axis divisible by the data-mesh size. Axes the TP spec
     already uses keep their assignment (VERDICT r1 #2: don't double-shard)."""
     parts = list(base) + [None] * (len(shape) - len(base))
+    # a PartitionSpec entry may be a name or a tuple of names; never name
+    # 'data' twice (device_put rejects duplicate mesh axes in one spec)
+    has_data = any(
+        p == "data" or (isinstance(p, tuple) and "data" in p) for p in parts)
     for axis, size in enumerate(shape):
+        if has_data:
+            break
         if parts[axis] is None and size % n == 0 and size >= n:
             parts[axis] = "data"
             break

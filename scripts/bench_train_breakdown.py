@@ -1,0 +1,162 @@
+"""Per-stage train-step breakdown: where do the 1.94 s go?
+
+Decomposes the single-chip panoptic train step (LoRA r8 + heads, bf16,
+remat) into separately-jitted pieces, each timed with REAL jit arguments
+(closure constants fold — the round-1 lesson):
+
+  model_fwd        forward only (inference apply, train=True)
+  model_fwd_bwd    forward + backward through a constant-weighted sum of
+                   every output head (isolates the model's grad cost)
+  crit_fwd         criterion forward (matching + all losses, outputs as args)
+  crit_fwd_bwd     criterion forward + grad wrt the model outputs
+  crit_final_only  criterion without deep supervision (1 layer vs 10)
+  full_step        the shipped train step (value_and_grad + AdamW)
+
+Run on TPU:
+  PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_train_breakdown.py [B]
+"""
+import dataclasses
+import json
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/psalm_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+from psalm_tpu.config import PSALMConfig
+from psalm_tpu.models.psalm import PSALM
+from psalm_tpu.train.criterion import PSALMCriterion
+from psalm_tpu.train.lora import (combine_params, partition_params,
+                                  psalm_finetune_mask)
+from psalm_tpu.train.train_step import make_optimizer
+import __graft_entry__ as ge
+
+import optax
+
+B = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+
+
+def timed(fn, *args, iters=4, warmup=1, label=""):
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        # materialize a scalar — honest sync on the tunneled backend
+        np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
+        times.append(time.perf_counter() - t0)
+    p50 = sorted(times)[len(times) // 2]
+    print(f"  {label:<18} {p50 * 1e3:8.1f} ms", file=sys.stderr)
+    return p50
+
+
+def main():
+    cfg = PSALMConfig(compute_dtype="bfloat16")
+    cfg = cfg.replace(
+        pixel_decoder=dataclasses.replace(
+            cfg.pixel_decoder, attention_mode="window", window_radius=8.0,
+            window_scan_tiles=False),
+        phi=dataclasses.replace(cfg.phi, lora_rank=8))
+    K = cfg.num_classes + 1
+    model = PSALM(cfg, dtype=jnp.bfloat16, remat=True)
+    batch = ge._panoptic_batch(cfg, B=B, num_classes=K)
+    N = 20
+    rng = np.random.RandomState(0)
+    batch["gt_masks"] = jnp.asarray(
+        rng.rand(B, N, 1024 // 4, 1024 // 4) > 0.7, jnp.float32)
+    batch["gt_labels"] = jnp.asarray(rng.randint(0, K - 1, (B, N)), jnp.int32)
+    batch["gt_valid"] = jnp.asarray(
+        np.tile(np.arange(N) < 12, (B, 1)), jnp.bool_)
+
+    variables = jax.jit(lambda r, b: model.init(
+        r, b, use_class_names=True, num_class_names=K))(
+        jax.random.PRNGKey(0), batch)
+    criterion = PSALMCriterion(cfg.loss, cfg.mask_decoder.num_queries)
+    mask = psalm_finetune_mask(variables["params"])
+    trainable, frozen = partition_params(variables["params"], mask)
+    extra = {k: v for k, v in variables.items() if k != "params"}
+    targets = {"masks": batch["gt_masks"], "labels": batch["gt_labels"],
+               "valid": batch["gt_valid"]}
+    key = jax.random.PRNGKey(1)
+    results = {}
+    print(f"batch={B}", file=sys.stderr)
+
+    # -- model forward ------------------------------------------------------
+    def apply_model(tr, fz, batch):
+        params = {"params": combine_params(tr, fz), **extra}
+        return model.apply(params, batch, train=True, use_class_names=True,
+                           num_class_names=K)
+
+    fwd = jax.jit(lambda tr, fz, b: apply_model(tr, fz, b)["pred_masks"])
+    results["model_fwd"] = timed(fwd, trainable, frozen, batch,
+                                 label="model_fwd")
+
+    # -- model forward+backward (criterion replaced by a constant-weight sum
+    # over every supervised head so ALL the model's grad paths are exercised)
+    def dummy_loss(tr, fz, batch):
+        out = apply_model(tr, fz, batch)
+        layers = [out] + list(out.get("aux_outputs", []))
+        total = 0.0
+        for lo in layers:
+            total += jnp.sum(lo["pred_masks"].astype(jnp.float32) * 1e-6)
+            if lo.get("pred_class_name_logits") is not None:
+                total += jnp.sum(
+                    lo["pred_class_name_logits"].astype(jnp.float32) * 1e-6)
+        return total
+
+    mg = jax.jit(lambda tr, fz, b: jax.grad(dummy_loss)(tr, fz, b))
+    results["model_fwd_bwd"] = timed(mg, trainable, frozen, batch,
+                                     label="model_fwd_bwd")
+
+    # -- criterion on materialized outputs (outputs as jit ARGS) ------------
+    out_ex = jax.jit(apply_model)(trainable, frozen, batch)
+    out_ex = jax.tree.map(lambda x: x, out_ex)
+
+    cf = jax.jit(lambda o, t, k: criterion(k, o, t, compute_class=True)
+                 ["loss_total"])
+    results["crit_fwd"] = timed(cf, out_ex, targets, key, label="crit_fwd")
+
+    def crit_loss(o, t, k):
+        return criterion(k, o, t, compute_class=True)["loss_total"]
+
+    cg = jax.jit(lambda o, t, k: jax.grad(crit_loss)(o, t, k))
+    results["crit_fwd_bwd"] = timed(cg, out_ex, targets, key,
+                                    label="crit_fwd_bwd")
+
+    # -- criterion without deep supervision ----------------------------------
+    out_final = {k: v for k, v in out_ex.items() if k != "aux_outputs"}
+    cg1 = jax.jit(lambda o, t, k: jax.grad(crit_loss)(o, t, k))
+    results["crit_final_only"] = timed(cg1, out_final, targets, key,
+                                       label="crit_final_only")
+
+    # -- full step ------------------------------------------------------------
+    tx = make_optimizer(6e-5, 1000)
+    opt_state = jax.jit(tx.init)(trainable)
+
+    def loss_fn(tr, fz, batch, rng):
+        out = apply_model(tr, fz, batch)
+        losses = criterion(rng, out, targets, compute_class=True)
+        return losses["loss_total"], losses
+
+    @jax.jit
+    def step(tr, fz, opt_state, batch, rng):
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            tr, fz, batch, rng)
+        updates, opt_state = tx.update(grads, opt_state, tr)
+        tr = optax.apply_updates(tr, updates)
+        return loss
+
+    results["full_step"] = timed(step, trainable, frozen, opt_state, batch,
+                                 key, label="full_step")
+
+    results = {k: round(v * 1e3, 1) for k, v in results.items()}
+    print(json.dumps({"batch": B, "ms": results}))
+
+
+if __name__ == "__main__":
+    main()

@@ -274,7 +274,7 @@ def test_golden_pixel_decoder():
 # reference draws via torch.rand at three call sites distinguishable by
 # their trailing (#points, 2) shape (matcher pretrain_criterion.py:422,
 # probe/random draws point_features.py:56/77), our criterion via the
-# set_uniform_fn hook. The bases are constant across leading (mask) rows, so
+# uniform_fn hook. The bases are constant across leading (mask) rows, so
 # the reference's query-index mask ordering vs our target-index ordering
 # cannot change the per-mask point selection or the summed losses.
 
@@ -345,8 +345,7 @@ def test_golden_criterion():
         return float(t_losses[key]) + float(t_losses[key + "_0"])
 
     # ---- ours
-    from psalm_tpu.train.criterion import (PSALMCriterion, set_assign_impl,
-                                           set_uniform_fn)
+    from psalm_tpu.train.criterion import PSALMCriterion, set_assign_impl
 
     def fixed_uniform(key, shape, *a, **k):
         assert shape[-1] == 2 and shape[-2] in bases, shape
@@ -354,21 +353,18 @@ def test_golden_criterion():
 
     cfg = LossConfig(train_num_points=NUM_PTS, oversample_ratio=OVER,
                      importance_sample_ratio=IMP)
-    crit = PSALMCriterion(cfg, Q, per_mask_uncertainty=True)
+    crit = PSALMCriterion(cfg, Q, per_mask_uncertainty=True,
+                          uniform_fn=fixed_uniform)
     j_outputs = {k: jnp.asarray(v) for k, v in out_np.items()}
     j_outputs["aux_outputs"] = [
         {k: jnp.asarray(v) for k, v in aux_np.items()}]
     j_targets = {"masks": jnp.asarray(gt_masks),
                  "labels": jnp.asarray(gt_labels),
                  "valid": jnp.ones((B, N), bool)}
-    set_uniform_fn(fixed_uniform)
     set_assign_impl("scipy")
-    try:
-        j_losses = crit(jax.random.PRNGKey(0), j_outputs, j_targets,
-                        compute_seg=True, compute_class=True,
-                        compute_region=True)
-    finally:
-        set_uniform_fn(None)
+    j_losses = crit(jax.random.PRNGKey(0), j_outputs, j_targets,
+                    compute_seg=True, compute_class=True,
+                    compute_region=True)
 
     # ours applies the loss weights (mask/dice 5, class 2) inline
     np.testing.assert_allclose(float(j_losses["loss_mask"]),
@@ -541,8 +537,7 @@ def test_golden_full_spine_panoptic(ref_psalm):
     # ---- ours: identical batch through the converted variables
     from psalm_tpu.data.splicer import splice
     from psalm_tpu.models.psalm import PSALM
-    from psalm_tpu.train.criterion import (PSALMCriterion, set_assign_impl,
-                                           set_uniform_fn)
+    from psalm_tpu.train.criterion import PSALMCriterion, set_assign_impl
 
     cfg = our_cfg
     variables = our_variables
@@ -573,18 +568,15 @@ def test_golden_full_spine_panoptic(ref_psalm):
         assert shape[-1] == 2 and shape[-2] in bases, shape
         return jnp.broadcast_to(jnp.asarray(bases[shape[-2]]), shape)
 
-    crit = PSALMCriterion(cfg.loss, Q, per_mask_uncertainty=True)
+    crit = PSALMCriterion(cfg.loss, Q, per_mask_uncertainty=True,
+                          uniform_fn=fixed_uniform)
     targets = {"masks": jnp.asarray(gt_masks),
                "labels": jnp.asarray(gt_labels),
                "valid": jnp.ones((B, N), bool)}
-    set_uniform_fn(fixed_uniform)
     set_assign_impl("scipy")
-    try:
-        j_losses = crit(jax.random.PRNGKey(0), out, targets,
-                        compute_seg=False, compute_class=True,
-                        compute_region=False)
-    finally:
-        set_uniform_fn(None)
+    j_losses = crit(jax.random.PRNGKey(0), out, targets,
+                    compute_seg=False, compute_class=True,
+                    compute_region=False)
 
     for ours_key, ref_val in [("loss_mask", t_out.loss_mask),
                               ("loss_dice", t_out.loss_dice),
@@ -603,8 +595,7 @@ def test_golden_full_spine_referring(ref_psalm):
                                           REFER_TOKEN_INDEX, SEG_TOKEN_INDEX)
     from psalm_tpu.data.splicer import splice
     from psalm_tpu.models.psalm import PSALM
-    from psalm_tpu.train.criterion import (PSALMCriterion, set_assign_impl,
-                                           set_uniform_fn)
+    from psalm_tpu.train.criterion import PSALMCriterion, set_assign_impl
 
     rng = np.random.default_rng(13)
     B, N, Q = 1, 2, 10
@@ -664,18 +655,15 @@ def test_golden_full_spine_referring(ref_psalm):
         assert shape[-1] == 2 and shape[-2] in bases, shape
         return jnp.broadcast_to(jnp.asarray(bases[shape[-2]]), shape)
 
-    crit = PSALMCriterion(cfg.loss, Q, per_mask_uncertainty=True)
+    crit = PSALMCriterion(cfg.loss, Q, per_mask_uncertainty=True,
+                          uniform_fn=fixed_uniform)
     targets = {"masks": jnp.asarray(gt_masks),
                "labels": jnp.asarray(gt_labels),
                "valid": jnp.ones((B, N), bool)}
-    set_uniform_fn(fixed_uniform)
     set_assign_impl("scipy")
-    try:
-        j_losses = crit(jax.random.PRNGKey(0), out, targets,
-                        compute_seg=True, compute_class=False,
-                        compute_region=False)
-    finally:
-        set_uniform_fn(None)
+    j_losses = crit(jax.random.PRNGKey(0), out, targets,
+                    compute_seg=True, compute_class=False,
+                    compute_region=False)
 
     for ours_key, ref_val in [("loss_mask", t_out.loss_mask),
                               ("loss_dice", t_out.loss_dice),
@@ -697,8 +685,7 @@ def test_golden_full_spine_region(ref_psalm):
                                           REGION_TOKEN_INDEX, SEG_TOKEN_INDEX)
     from psalm_tpu.data.splicer import splice
     from psalm_tpu.models.psalm import PSALM
-    from psalm_tpu.train.criterion import (PSALMCriterion, set_assign_impl,
-                                           set_uniform_fn)
+    from psalm_tpu.train.criterion import PSALMCriterion, set_assign_impl
 
     rng = np.random.default_rng(14)
     B, R, Q, IMG = 1, 2, 10, 128  # 128 px -> a 2x2 image-token map
@@ -772,18 +759,15 @@ def test_golden_full_spine_region(ref_psalm):
         assert shape[-1] == 2 and shape[-2] in bases, shape
         return jnp.broadcast_to(jnp.asarray(bases[shape[-2]]), shape)
 
-    crit = PSALMCriterion(cfg.loss, Q, per_mask_uncertainty=True)
+    crit = PSALMCriterion(cfg.loss, Q, per_mask_uncertainty=True,
+                          uniform_fn=fixed_uniform)
     targets = {"masks": jnp.asarray(gt_masks),
                "labels": jnp.asarray(gt_labels),
                "valid": jnp.ones((B, R), bool)}
-    set_uniform_fn(fixed_uniform)
     set_assign_impl("scipy")
-    try:
-        j_losses = crit(jax.random.PRNGKey(0), out, targets,
-                        compute_seg=False, compute_class=False,
-                        compute_region=True)
-    finally:
-        set_uniform_fn(None)
+    j_losses = crit(jax.random.PRNGKey(0), out, targets,
+                    compute_seg=False, compute_class=False,
+                    compute_region=True)
 
     for ours_key, ref_val in [("loss_mask", t_out.loss_mask),
                               ("loss_dice", t_out.loss_dice),
@@ -1127,3 +1111,243 @@ def test_golden_seg_region_semantic_heads():
     j_sem = semantic_inference(jnp.asarray(cls), jnp.asarray(masks))
     np.testing.assert_allclose(np.asarray(j_sem), _np(t_sem), rtol=1e-5,
                                atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# 9. Eval geometry parity on NON-SQUARE padded images (VERDICT r2 missing #1):
+#    the reference crops the un-padded content and bilinearly resizes mask
+#    logits to the ORIGINAL (H, W) BEFORE its heads (sem_seg_postprocess,
+#    llava_phi.py:1426-1459); our EvalRunner reproduces that order with
+#    composed interpolation matrices on an original-resolution bucket.
+
+
+_GEOM_CASES = [
+    # (content region in the 64-padded frame, original image size)
+    ((48, 64), (97, 131)),   # landscape: upscale both axes
+    ((64, 40), (120, 75)),   # portrait content
+    ((48, 56), (30, 45)),    # downscale to a small original
+]
+
+
+def _pad_mask(nh, nw, S=64):
+    pm = np.ones((S, S), bool)
+    pm[:nh, :nw] = False
+    return pm
+
+
+def _bucket(orig):
+    from psalm_tpu.eval.runner import bucket_for_sizes
+    return bucket_for_sizes([orig], multiple=32)
+
+
+@pytest.mark.parametrize("content,orig", _GEOM_CASES)
+def test_golden_eval_seg_panoptic_nonsquare(ref_psalm, content, orig):
+    """Panoptic task on rectangular content in a padded frame: the panoptic
+    map + segments, the semantic argmax, and the instance head must match the
+    reference's crop-then-head order at the original (H, W) grid."""
+    llava, ref, cfg, variables = ref_psalm
+    from psalm_tpu.data.constants import (CLS_TOKEN_INDEX, IMAGE_TOKEN_INDEX,
+                                          SEG_TOKEN_INDEX)
+    from psalm_tpu.data.splicer import splice
+    from psalm_tpu.eval.runner import EvalRunner
+    from psalm_tpu.models.psalm import PSALM
+
+    (nh, nw), (H, W) = content, orig
+    rng = np.random.default_rng(hash((nh, nw, H, W)) % 2**31)
+    K, Q = 3, 10
+    ids = [11, 12, IMAGE_TOKEN_INDEX, 13,
+           CLS_TOKEN_INDEX, CLS_TOKEN_INDEX, CLS_TOKEN_INDEX,
+           14, SEG_TOKEN_INDEX, 15, 16]
+    labels = [-100] * len(ids)
+    class_name_ids = np.array([21, 22, 23, 24, 25, 26], np.int64)
+    cls_indices = np.array([0, 0, 1, 2, 2, 2], np.int64)
+    images = rng.standard_normal((1, 3, 64, 64)).astype(np.float32)
+    is_thing = [True, False]
+    pad_np = _pad_mask(nh, nw)
+
+    t_ids = torch.tensor([ids])
+    with torch.no_grad():
+        t_res = ref.eval_seg(
+            input_ids=t_ids,
+            attention_mask=torch.ones_like(t_ids, dtype=torch.bool),
+            labels=torch.tensor([labels]),
+            images=torch.from_numpy(images),
+            seg_info=[{"padding_mask": pad_np, "height": H, "width": W}],
+            class_name_ids=torch.from_numpy(class_name_ids[None]),
+            class_name_embedding_indices=(t_ids == CLS_TOKEN_INDEX).long(),
+            cls_indices=torch.from_numpy(cls_indices[None]),
+            is_thing_list=is_thing)[0]
+
+    s = splice(ids, labels, num_image_tokens=1, num_seg_queries=Q,
+               pad_len=64, class_name_ids=class_name_ids,
+               cls_indices=cls_indices)
+    batch = {k: np.asarray(v)[None] for k, v in s.as_dict().items()}
+    batch["images"] = images.transpose(0, 2, 3, 1)
+    batch["padding_mask"] = pad_np[None]
+    batch["resized_hw"] = np.asarray([[nh, nw]])
+    batch["original_hw"] = np.asarray([[H, W]])
+    runner = EvalRunner(PSALM(cfg), variables, cfg, num_class_names=K,
+                        is_thing=is_thing, bucket_hw=_bucket((H, W)))
+    out = runner.infer(batch)
+
+    t_pan, t_segments = t_res["panoptic_seg"]
+    assert out["panoptic_seg"][0].shape == (H, W)
+    np.testing.assert_array_equal(out["panoptic_seg"][0], _np(t_pan))
+    ours_segments = [
+        {"id": int(out["segments"]["id"][0][q]),
+         "isthing": bool(out["segments"]["isthing"][0][q]),
+         "category_id": int(out["segments"]["category"][0][q])}
+        for q in range(Q) if out["segments"]["valid"][0][q]]
+    assert ours_segments == t_segments
+
+    np.testing.assert_array_equal(
+        out["sem_seg"][0], _np(t_res["sem_seg"].argmax(0)))
+
+    t_inst = t_res["instances"]
+    inst = out.get("instances")
+    if inst is not None:
+        j = sorted((float(inst["scores"][0][i]), int(inst["classes"][0][i]))
+                   for i in range(Q) if bool(inst["keep"][0][i]))
+        t = sorted((float(sc), int(c)) for sc, c in
+                   zip(t_inst.scores, t_inst.pred_classes))
+        assert len(j) == len(t)
+        for (js, jc), (ts, tc) in zip(j, t):
+            assert abs(js - ts) < 1e-4 and jc == tc
+
+
+def _task_twin(llava, ref, seg_task):
+    """A reference twin with a different SEG_TASK sharing the fixture's
+    weights (the pattern from the DAVIS vp golden)."""
+    import copy
+    mcfg = _tiny_mask_cfg()
+    mcfg.MODEL.MASK_FORMER.SEG_TASK = seg_task
+    dcfg_phi = copy.deepcopy(ref.config)
+    if hasattr(dcfg_phi, "mm_vision_tower"):
+        delattr(dcfg_phi, "mm_vision_tower")
+    twin = llava.PSALM(dcfg_phi, mask_decoder_cfg=mcfg)
+    twin.get_model().initialize_vision_modules(_ns(
+        vision_tower=None, with_norm=True, with_layernorm=True,
+        pretrain_mm_mlp_adapter=None, mm_projector_type="swin_conv",
+        swin_type="base"))
+    twin.initial_mask_module()
+    missing = twin.load_state_dict(ref.state_dict(), strict=False)
+    assert not missing.missing_keys, missing.missing_keys[:5]
+    return twin.float().eval()
+
+
+@pytest.mark.parametrize("content,orig", _GEOM_CASES[:2])
+def test_golden_eval_seg_referring_nonsquare(ref_psalm, content, orig):
+    """Referring task (SEG head) on non-square content: crop-then-head order
+    through SEG_instance_inference at the original grid."""
+    llava, ref, cfg, variables = ref_psalm
+    import dataclasses
+    from psalm_tpu.config import SegTask
+    from psalm_tpu.data.constants import (IMAGE_TOKEN_INDEX,
+                                          REFER_TOKEN_INDEX, SEG_TOKEN_INDEX)
+    from psalm_tpu.data.splicer import splice
+    from psalm_tpu.eval.runner import EvalRunner
+    from psalm_tpu.models.psalm import PSALM
+
+    twin = _task_twin(llava, ref, "referring")
+    (nh, nw), (H, W) = content, orig
+    rng = np.random.default_rng(hash(("ref", nh, nw, H, W)) % 2**31)
+    Q = 10
+    ids = [41, 42, IMAGE_TOKEN_INDEX, 43, REFER_TOKEN_INDEX,
+           44, SEG_TOKEN_INDEX, 45]
+    token_refer_id = np.array([51, 52, 53], np.int64)
+    images = rng.standard_normal((1, 3, 64, 64)).astype(np.float32)
+    pad_np = _pad_mask(nh, nw)
+
+    t_ids = torch.tensor([ids])
+    with torch.no_grad():
+        t_res = twin.eval_seg(
+            input_ids=t_ids,
+            attention_mask=torch.ones_like(t_ids, dtype=torch.bool),
+            labels=torch.full_like(t_ids, -100),  # the reference reads
+            # label.device inside concat_image_seg_cls_embeds (llava_phi.py
+            # :651) even at eval time, so labels must be supplied
+            images=torch.from_numpy(images),
+            seg_info=[{"padding_mask": pad_np, "height": H, "width": W}],
+            token_refer_id=torch.from_numpy(token_refer_id[None]),
+            refer_embedding_indices=(t_ids == REFER_TOKEN_INDEX).long())[0]
+    t_inst = t_res["instances"]
+
+    s = splice(ids, None, num_image_tokens=1, num_seg_queries=Q,
+               pad_len=64, token_refer_id=token_refer_id)
+    batch = {k: np.asarray(v)[None] for k, v in s.as_dict().items()}
+    batch["images"] = images.transpose(0, 2, 3, 1)
+    batch["padding_mask"] = pad_np[None]
+    batch["resized_hw"] = np.asarray([[nh, nw]])
+    batch["original_hw"] = np.asarray([[H, W]])
+
+    cfg_r = cfg.replace(seg_task=SegTask.REFERRING)
+    runner = EvalRunner(PSALM(cfg_r), variables, cfg_r,
+                        bucket_hw=_bucket((H, W)))
+    out = runner.infer(batch)
+    ref_out = out["referring"]
+    assert ref_out["masks"][0].shape == (Q, H, W)
+    # the reference's topk(sorted=False) returns queries in arbitrary order;
+    # compare in canonical (descending-score) order
+    j_scores = np.asarray(ref_out["scores"][0])
+    t_scores = _np(t_inst.scores)
+    jo, to = np.argsort(-j_scores), np.argsort(-t_scores)
+    np.testing.assert_allclose(j_scores[jo], t_scores[to],
+                               rtol=5e-3, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(ref_out["masks"][0])[jo],
+                                  (_np(t_inst.pred_masks) > 0.5)[to])
+
+
+@pytest.mark.parametrize("content,orig", _GEOM_CASES[:2])
+def test_golden_eval_seg_semantic_nonsquare(ref_psalm, content, orig):
+    """Pure-semantic task: sem_seg_postprocess_before_inference=False — the
+    head runs at PADDED resolution (sigmoid at the padded grid) and the
+    restore happens after (llava_phi.py:1437-1440); the evaluator then
+    argmaxes. Asserts the argmax map at the original grid."""
+    llava, ref, cfg, variables = ref_psalm
+    from psalm_tpu.config import SegTask
+    from psalm_tpu.data.constants import (CLS_TOKEN_INDEX, IMAGE_TOKEN_INDEX,
+                                          SEG_TOKEN_INDEX)
+    from psalm_tpu.data.splicer import splice
+    from psalm_tpu.eval.runner import EvalRunner
+    from psalm_tpu.models.psalm import PSALM
+
+    twin = _task_twin(llava, ref, "semantic")
+    (nh, nw), (H, W) = content, orig
+    rng = np.random.default_rng(hash(("sem", nh, nw, H, W)) % 2**31)
+    K, Q = 3, 10
+    ids = [11, 12, IMAGE_TOKEN_INDEX, 13,
+           CLS_TOKEN_INDEX, CLS_TOKEN_INDEX, CLS_TOKEN_INDEX,
+           14, SEG_TOKEN_INDEX, 15, 16]
+    class_name_ids = np.array([21, 22, 23, 24, 25, 26], np.int64)
+    cls_indices = np.array([0, 0, 1, 2, 2, 2], np.int64)
+    images = rng.standard_normal((1, 3, 64, 64)).astype(np.float32)
+    pad_np = _pad_mask(nh, nw)
+
+    t_ids = torch.tensor([ids])
+    with torch.no_grad():
+        t_res = twin.eval_seg(
+            input_ids=t_ids,
+            attention_mask=torch.ones_like(t_ids, dtype=torch.bool),
+            labels=torch.full_like(t_ids, -100),  # llava_phi.py:651 quirk
+            images=torch.from_numpy(images),
+            seg_info=[{"padding_mask": pad_np, "height": H, "width": W}],
+            class_name_ids=torch.from_numpy(class_name_ids[None]),
+            class_name_embedding_indices=(t_ids == CLS_TOKEN_INDEX).long(),
+            cls_indices=torch.from_numpy(cls_indices[None]))[0]
+
+    s = splice(ids, None, num_image_tokens=1, num_seg_queries=Q,
+               pad_len=64, class_name_ids=class_name_ids,
+               cls_indices=cls_indices)
+    batch = {k: np.asarray(v)[None] for k, v in s.as_dict().items()}
+    batch["images"] = images.transpose(0, 2, 3, 1)
+    batch["padding_mask"] = pad_np[None]
+    batch["resized_hw"] = np.asarray([[nh, nw]])
+    batch["original_hw"] = np.asarray([[H, W]])
+
+    cfg_s = cfg.replace(seg_task=SegTask.SEMANTIC)
+    runner = EvalRunner(PSALM(cfg_s), variables, cfg_s, num_class_names=K,
+                        bucket_hw=_bucket((H, W)))
+    out = runner.infer(batch)
+    assert out["sem_seg"][0].shape == (H, W)
+    np.testing.assert_array_equal(
+        out["sem_seg"][0], _np(t_res["sem_seg"].argmax(0)))
