@@ -58,6 +58,23 @@ def load_pretrained_model(model_path: str, seg_task: SegTask = SegTask.PANOPTIC,
             from psalm_tpu.models.quant import quantize_phi_int4
             variables = quantize_phi_int4(variables)
         variables = jax.tree.map(jnp.asarray, variables)
+        if dtype == jnp.bfloat16:
+            # serving: store float weights in bf16 so the decode step's HBM
+            # weight traffic matches the compute dtype (f32 storage would
+            # double it and halve the bandwidth-bound tok/s). int8/int4
+            # leaves, their dequant 'scale's, and normalization stats stay
+            # full precision (tiny, and the quant error budget assumes f32
+            # scales).
+            keep_f32 = ("scale", "batch_stats")
+
+            def cast(path, x):
+                if not hasattr(x, "dtype") or x.dtype != jnp.float32:
+                    return x
+                keys = {getattr(k, "key", getattr(k, "name", ""))
+                        for k in path}
+                return x if keys & set(keep_f32) else x.astype(jnp.bfloat16)
+
+            variables = jax.tree_util.tree_map_with_path(cast, variables)
 
     tokenizer = None
     try:

@@ -28,7 +28,8 @@ from psalm_tpu.data.tokenization import tokenize_special
 
 class ModelWorker:
     def __init__(self, controller_addr, worker_addr, model_path, model_name,
-                 limit_concurrency=5, image_size=1024):
+                 limit_concurrency=5, image_size=1024, load_8bit=False,
+                 decode_chunk=32):
         self.controller_addr = controller_addr
         self.worker_addr = worker_addr
         self.worker_id = str(uuid.uuid4())[:6]
@@ -36,11 +37,16 @@ class ModelWorker:
         self.semaphore = threading.Semaphore(limit_concurrency)
         self.queue_length = 0
 
+        import jax.numpy as jnp
         from psalm_tpu.models.builder import load_pretrained_model
         from psalm_tpu.models.generation import Generator
         from psalm_tpu.data.mappers import ImageMapper
+        # bf16 storage+compute (and optionally int8 weights) for the decode
+        # path: tok/s is HBM-bandwidth-bound on the weight reads
         self.tokenizer, self.model, self.variables, self.context_len = \
-            load_pretrained_model(model_path)
+            load_pretrained_model(model_path, dtype=jnp.bfloat16,
+                                  load_8bit=load_8bit)
+        self.decode_chunk = decode_chunk
         self.generator = Generator(self.model, self.variables,
                                    max_len=self.context_len)
         self.mapper = ImageMapper(image_size)
@@ -157,7 +163,8 @@ class ModelWorker:
                 toks = self.generator.generate(
                     batch, max_new_tokens=max_new_tokens,
                     temperature=temperature, eos_id=eos,
-                    chunk_size=int(params.get("chunk_size", 8)))
+                    chunk_size=int(params.get("chunk_size",
+                                               self.decode_chunk)))
                 for i in range(toks.shape[1]):
                     piece = self.tokenizer.decode(toks[0, :i + 1].tolist(),
                                                   skip_special_tokens=True)
@@ -220,10 +227,17 @@ def main():
     p.add_argument("--model-path", required=True)
     p.add_argument("--model-name", default="psalm")
     p.add_argument("--limit-model-concurrency", type=int, default=5)
+    p.add_argument("--load-8bit", action="store_true",
+                   help="weight-only int8 Phi linears (bnb load_in_8bit "
+                        "analog) — halves decode weight traffic")
+    p.add_argument("--decode-chunk", type=int, default=32,
+                   help="tokens per device dispatch in streaming decode")
     args = p.parse_args()
     worker = ModelWorker(args.controller_address, args.worker_address,
                          args.model_path, args.model_name,
-                         args.limit_model_concurrency)
+                         args.limit_model_concurrency,
+                         load_8bit=args.load_8bit,
+                         decode_chunk=args.decode_chunk)
     server = ThreadingHTTPServer((args.host, args.port), make_handler(worker))
     print(f"worker listening on {args.host}:{args.port}")
     server.serve_forever()

@@ -1,0 +1,111 @@
+"""Serving-decode throughput bench: tok/s across precision x chunk size.
+
+The decode step is HBM-bandwidth-bound on the Phi weight reads (~1.4B
+params; v5e ~819 GB/s => ~290 tok/s at bf16, ~580 at int8). Measures the
+steady-state chunked decode (models/generation.py) for:
+  f32    — params as loaded (round-2 configuration)
+  bf16   — params cast to bf16 (builder's serving cast)
+  int8   — weight-only int8 Phi linears (quantize_phi_int8)
+over chunk sizes {8, 16, 32, 64}.
+
+Run on TPU:
+  PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_decode.py
+"""
+import json
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/psalm_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+from psalm_tpu.config import PSALMConfig
+from psalm_tpu.models.generation import Generator
+from psalm_tpu.models.psalm import PSALM
+
+MAX_LEN = 2048
+NEW_TOKENS = 128
+
+
+def make_variables(cfg, model, rng=0):
+    import __graft_entry__ as ge
+    batch = ge._panoptic_batch(cfg, B=1, num_classes=cfg.num_classes + 1)
+    return jax.jit(lambda r, b: model.init(
+        r, b, use_class_names=True, num_class_names=cfg.num_classes + 1))(
+        jax.random.PRNGKey(rng), batch), batch
+
+
+def gen_batch(cfg):
+    from psalm_tpu.data.constants import IMAGE_TOKEN_INDEX
+    from psalm_tpu.data.splicer import splice, stack_samples
+    s = cfg.image_size
+    n_img = (s // 64) ** 2
+    ids = [101, IMAGE_TOKEN_INDEX, 102, 103, 104]
+    sp = splice(ids, None, num_image_tokens=n_img, num_seg_queries=0,
+                pad_len=n_img + 32)
+    batch = {k: np.asarray(v)[None] for k, v in sp.as_dict().items()}
+    rng = np.random.default_rng(0)
+    batch["images"] = rng.standard_normal((1, s, s, 3)).astype(np.float32)
+    return batch
+
+
+def bench_variant(name, quant_bits, cast_bf16, chunks=(8, 16, 32, 64)):
+    import dataclasses
+    cfg = PSALMConfig(compute_dtype="bfloat16")
+    if quant_bits:
+        cfg = cfg.replace(phi=dataclasses.replace(cfg.phi,
+                                                  quant_bits=quant_bits))
+    model = PSALM(cfg, dtype=jnp.bfloat16)
+    # float init (quant_bits=0) for weight minting, then quantize/cast
+    model_f = PSALM(cfg.replace(phi=dataclasses.replace(cfg.phi,
+                                                        quant_bits=0)),
+                    dtype=jnp.bfloat16)
+    variables, _ = make_variables(cfg.replace(
+        phi=dataclasses.replace(cfg.phi, quant_bits=0)), model_f)
+    if quant_bits == 8:
+        from psalm_tpu.models.quant import quantize_phi_int8
+        variables = jax.device_put(quantize_phi_int8(
+            jax.tree.map(np.asarray, variables)))
+    if cast_bf16:
+        def cast(x):
+            return (x.astype(jnp.bfloat16)
+                    if hasattr(x, "dtype") and x.dtype == jnp.float32 else x)
+        variables = jax.tree.map(cast, variables)
+
+    gen = Generator(model, variables, max_len=MAX_LEN)
+    batch = gen_batch(cfg)
+    out = {}
+    for chunk in chunks:
+        t0 = time.perf_counter()
+        toks = gen.generate(batch, max_new_tokens=NEW_TOKENS,
+                            chunk_size=chunk)
+        warm = time.perf_counter() - t0  # includes compile
+        t0 = time.perf_counter()
+        toks = gen.generate(batch, max_new_tokens=NEW_TOKENS,
+                            chunk_size=chunk)
+        dt = time.perf_counter() - t0
+        tps = toks.shape[1] / dt
+        out[chunk] = round(tps, 1)
+        print(f"[{name}] chunk={chunk}: {tps:.1f} tok/s "
+              f"(first incl compile {warm:.1f}s)", file=sys.stderr)
+    return out
+
+
+def main():
+    results = {}
+    variants = sys.argv[1:] or ["bf16", "int8", "f32"]
+    for v in variants:
+        if v == "f32":
+            results["f32"] = bench_variant("f32", 0, False)
+        elif v == "bf16":
+            results["bf16"] = bench_variant("bf16", 0, True)
+        elif v == "int8":
+            results["int8"] = bench_variant("int8", 8, True)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -194,3 +194,57 @@ def test_build_lvis_and_llava_filter(tmp_path):
     build_llava(mp, outp)
     kept = json.load(open(outp))
     assert [r["id"] for r in kept] == ["a"]  # text-only sample dropped
+
+
+def test_interactive_prompt_distributions():
+    """Distribution-level agreement with the reference's synthesis constants
+    (bulid_COCO_Interactivate.py:27-143, VERDICT r2 #7): sigma-2 blur with a
+    mean threshold, centroid-radius point sampling, one 0.9-1.1 box scale,
+    0.5-1.2 scribble box with IoU>=0.5 retry + sine amplitude 10-20."""
+    from scipy.ndimage import gaussian_filter
+    from datasets_prep.build_coco_interactive import (box_prompt, mask_prompt,
+                                                      point_prompt,
+                                                      scribble_prompt)
+    H, W = 96, 128
+    mask = np.zeros((H, W), np.uint8)
+    mask[20:60, 30:90] = 1          # one big component
+    r0, c0, r1, c1 = 20, 30, 60, 90
+    cy, cx = (r0 + r1 - 1) / 2, (c0 + c1 - 1) / 2
+
+    # mask: EXACT recomputation of the reference formula
+    m = mask_prompt(mask)
+    blurred = gaussian_filter(mask.astype(float), sigma=2)
+    np.testing.assert_array_equal(m, (blurred > blurred.mean()).astype(np.uint8))
+    assert m.sum() > 0 and m.sum() != mask.sum()  # mean-threshold erodes
+
+    radius = min(r1 - r0, c1 - c0) * 0.5
+    for seed in range(40):
+        rng = np.random.default_rng(seed)
+        p = point_prompt(mask, rng)
+        assert p.sum() == 1
+        py, px = np.argwhere(p)[0]
+        assert mask[py, px] == 1
+        # polar offset is bounded by the centroid radius (+1 for the int
+        # truncation), per the reference's sampling law
+        assert abs(py - cy) <= radius + 1 and abs(px - cx) <= radius + 1
+
+        rng = np.random.default_rng(seed)
+        b = box_prompt(mask, rng)
+        ys, xs = np.nonzero(b)
+        bh, bw = ys.max() - ys.min() + 1, xs.max() - xs.min() + 1
+        # one scale draw in [0.9, 1.1] about the center (int truncation)
+        assert (r1 - r0) * 0.9 - 2 <= bh <= (r1 - r0) * 1.1 + 2
+        assert (c1 - c0) * 0.9 - 2 <= bw <= (c1 - c0) * 1.1 + 2
+        # filled rectangle
+        assert b.sum() == bh * bw
+
+        rng = np.random.default_rng(seed)
+        s = scribble_prompt(mask, rng)
+        assert s.sum() >= 2
+        ys, xs = np.nonzero(s)
+        # cols stay inside the scribble box (<= 1.2x the bbox about the
+        # centroid); rows may wander by the sine amplitude <= 20
+        assert xs.min() >= cx - (c1 - c0) * 0.6 - 2
+        assert xs.max() <= cx + (c1 - c0) * 0.6 + 2
+        assert ys.min() >= r0 - 0.1 * (r1 - r0) - 20 - 2
+        assert ys.max() <= r1 + 0.1 * (r1 - r0) + 20 + 2

@@ -228,36 +228,3 @@ def test_msda_window_decoder_fallback():
     got = np.asarray(ms_deform_attn_window(
         jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(attn)))
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
-
-
-def test_msda_window_pallas_interpret_matches_oracle():
-    """Pallas sampler (interpret mode): forward + all grads vs the oracle,
-    in-radius offsets (incl. image-edge zero padding at edge tiles)."""
-    from psalm_tpu.ops.msdeform_window_pallas import (
-        ms_deform_attn_window_pallas)
-    shapes = ((4, 4), (8, 8), (16, 16))
-    R = 2.0
-    value, loc, attn = _encoder_case(5, shapes, max_off=R - 0.25, B=1, D=32)
-
-    fn = functools.partial(ms_deform_attn_window_pallas, tile=8, radius=R,
-                           interpret=True)
-    want = np.asarray(ms_deform_attn_xla(
-        jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(attn)))
-    got = np.asarray(fn(jnp.asarray(value), shapes, jnp.asarray(loc),
-                        jnp.asarray(attn)))
-    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
-
-    def loss(f, v, l, a):
-        return jnp.sum(jnp.square(f(v, shapes, l, a)))
-
-    g_ref = jax.grad(lambda v, l, a: loss(
-        lambda v_, s_, l_, a_: ms_deform_attn_xla(v_, s_, l_, a_), v, l, a),
-        argnums=(0, 1, 2))(
-        jnp.asarray(value), jnp.asarray(loc), jnp.asarray(attn))
-    g_pal = jax.grad(lambda v, l, a: loss(
-        lambda v_, s_, l_, a_: fn(v_, s_, l_, a_), v, l, a),
-        argnums=(0, 1, 2))(
-        jnp.asarray(value), jnp.asarray(loc), jnp.asarray(attn))
-    for a, b in zip(g_ref, g_pal):
-        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
-                                   rtol=1e-4, atol=1e-4)
