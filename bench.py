@@ -43,6 +43,9 @@ ORIGINAL_HW = (480, 640)   # COCO-typical original size
 BUCKET_HW = (640, 640)     # covers every COCO original
 
 
+BATCH = int(os.environ.get("PSALM_BENCH_BATCH", "1"))
+
+
 def _build(mode: str, radius: float):
     import numpy as np
     import jax
@@ -60,14 +63,15 @@ def _build(mode: str, radius: float):
         cfg.pixel_decoder, **pd_kw))
     K = cfg.num_classes + 1
     model = PSALM(cfg, dtype=jnp.bfloat16, use_flash=True)
-    batch = ge._panoptic_batch(cfg, B=1, num_classes=K)
+    B = BATCH
+    batch = ge._panoptic_batch(cfg, B=B, num_classes=K)
     S = cfg.image_size
     pad = np.ones((S, S), bool)
     pad[:CONTENT_HW[0], :CONTENT_HW[1]] = False
     batch = dict(batch)
-    batch["padding_mask"] = jnp.asarray(pad[None])
-    batch["resized_hw"] = jnp.asarray(np.asarray(CONTENT_HW)[None])
-    batch["original_hw"] = jnp.asarray(np.asarray(ORIGINAL_HW)[None])
+    batch["padding_mask"] = jnp.asarray(np.tile(pad, (B, 1, 1)))
+    batch["resized_hw"] = jnp.asarray(np.tile(CONTENT_HW, (B, 1)))
+    batch["original_hw"] = jnp.asarray(np.tile(ORIGINAL_HW, (B, 1)))
     params = jax.jit(lambda r, b: model.init(r, b, use_class_names=True,
                                              num_class_names=K))(
         jax.random.PRNGKey(0), batch)
@@ -114,7 +118,7 @@ def measure_mode(mode: str, radius: float = 8.0, iters: int = 8,
         acc += int(np.asarray(out["panoptic_seg"]).sum())
     dt = time.perf_counter() - t0
     assert acc != 0 or True
-    return n / dt, p50
+    return n * BATCH / dt, p50
 
 
 def measure_torch_baseline(seq_len: int = 1350) -> float:

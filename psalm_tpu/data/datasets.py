@@ -61,8 +61,11 @@ class DataConfig:
 
     def __init__(self, image_size=1024, num_image_tokens=256, num_seg_queries=100,
                  pad_len=2048, max_gt_masks=100, max_regions=20,
-                 num_region_points=256, seed=0):
+                 num_region_points=256, seed=0, device_normalize=True):
         self.image_size = image_size
+        # ship uint8 canvases; the model normalizes on device (4x less
+        # host->device traffic; identical math — see data/mappers.py)
+        self.device_normalize = device_normalize
         self.num_image_tokens = num_image_tokens
         self.num_seg_queries = num_seg_queries
         self.pad_len = pad_len
@@ -79,7 +82,8 @@ class BaseTaskDataset:
                  is_train=True):
         self.tokenizer = tokenizer
         self.cfg = cfg
-        self.mapper = ImageMapper(cfg.image_size)
+        self.mapper = ImageMapper(cfg.image_size,
+                                  cfg.device_normalize)
         self.is_train = is_train
         self.coco_class_name = list(class_names) if class_names else \
             COCO_CLASS_NAMES + ["background"]

@@ -63,22 +63,27 @@ class ImageMapper:
     layered on top (the reference uses the same deterministic transforms for
     its shipped recipe — build_transform_gen == build_transform_gen_for_eval)."""
 
-    def __init__(self, image_size: int = 1024):
+    def __init__(self, image_size: int = 1024, device_normalize: bool = False):
         self.image_size = image_size
+        # device_normalize: emit the raw uint8 canvas and let the model
+        # normalize on device (PSALM.encode_images) — 4x less host->device
+        # traffic; identical math (the PIL resize output is integer-valued)
+        self.device_normalize = device_normalize
 
     def transform_image(self, image: np.ndarray) -> ProcessedImage:
         h, w = image.shape[:2]
         S = self.image_size
         nh, nw = resize_shortest_edge_shape(h, w, S, S)
         pil = Image.fromarray(image.astype(np.uint8))
-        resized = np.asarray(pil.resize((nw, nh), Image.BILINEAR), np.float32)
+        resized = np.asarray(pil.resize((nw, nh), Image.BILINEAR))
 
-        canvas = np.full((S, S, 3), 128.0, np.float32)  # d2 pad_value default
+        canvas = np.full((S, S, 3), 128, np.uint8)  # d2 pad_value default
         canvas[:nh, :nw] = resized
         padding_mask = np.ones((S, S), bool)
         padding_mask[:nh, :nw] = False
 
-        image_out = (canvas - PIXEL_MEAN) / PIXEL_STD
+        image_out = (canvas if self.device_normalize
+                     else (canvas.astype(np.float32) - PIXEL_MEAN) / PIXEL_STD)
         return ProcessedImage(image=image_out, padding_mask=padding_mask,
                               resized_hw=(nh, nw), original_hw=(h, w),
                               scale=nh / h)

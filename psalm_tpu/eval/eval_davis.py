@@ -69,7 +69,8 @@ class DavisFrameBuilder:
     def __init__(self, tokenizer, dcfg: DataConfig):
         self.tokenizer = tokenizer
         self.dcfg = dcfg
-        self.mapper = ImageMapper(dcfg.image_size)
+        self.mapper = ImageMapper(dcfg.image_size,
+                                  dcfg.device_normalize)
         self.rng = np.random.default_rng(dcfg.seed)
 
     def build(self, image: np.ndarray, vp_image: np.ndarray,

@@ -66,11 +66,15 @@ def evaluation(args, cfg=None, tokenizer=None, model=None, variables=None):
 
     def batches():
         for i in range(0, n, args.eval_batch_size):
-            yield i, [ds[j] for j in range(i, min(i + args.eval_batch_size, n))]
+            samples = [ds[j]
+                       for j in range(i, min(i + args.eval_batch_size, n))]
+            batch = collate(samples)
+            # start the host->device upload on the prefetch thread so it
+            # overlaps the previous batch's device compute
+            yield i, samples, batch, runner.stage(batch)
 
-    for i, samples in Prefetcher(batches(), depth=2):
-        batch = collate(samples)
-        out = runner.infer(batch)
+    for i, samples, batch, staged in Prefetcher(batches(), depth=2):
+        out = runner.infer(batch, staged=staged)
         for b, s in enumerate(samples):
             rh, ow = s["resized_hw"], s["original_hw"]
             # predictions come back at original resolution (crop-then-head)

@@ -127,7 +127,8 @@ class EvalRunner:
             probs = jax.nn.softmax(
                 out["pred_class_name_logits"].astype(jnp.float32), -1)[..., :-1]
             sem = jnp.einsum("bqk,bqhw->bkhw", probs, sig_o)
-            results["sem_seg"] = jnp.argmax(sem, axis=1).astype(jnp.int32)
+            results["sem_seg"] = jnp.argmax(sem, axis=1).astype(
+                jnp.uint8 if self.num_class_names <= 256 else jnp.int32)
             return results
 
         # sem_seg_postprocess_before_inference=True: restore mask LOGITS to
@@ -143,6 +144,11 @@ class EvalRunner:
                 lambda cl, m, v: postprocess.panoptic_inference(
                     cl, m, jnp.asarray(is_thing), v))(
                 out["pred_class_name_logits"], mo, valid)
+            # segment ids are <= Q (100) and class ids < K (134): ship the
+            # dense maps as uint8/int16 — the device->host transfer rides a
+            # ~tens-of-MB/s tunnel on this sandbox, so byte width is latency
+            if Q <= 255:
+                pan = pan.astype(jnp.uint8)
             results["panoptic_seg"] = pan
             results["segments"] = info
             # the PQ/mIoU evaluators consume only the argmax semantic map;
@@ -151,7 +157,9 @@ class EvalRunner:
             # (llava_phi.py:1433-1436 with postprocess_before_inference).
             sem = jax.vmap(postprocess.semantic_inference)(
                 out["pred_class_name_logits"], mo)
-            results["sem_seg"] = jnp.argmax(sem, axis=1).astype(jnp.int32)
+            sem_ids = jnp.argmax(sem, axis=1)
+            results["sem_seg"] = sem_ids.astype(
+                jnp.uint8 if self.num_class_names <= 256 else jnp.int32)
         elif task is SegTask.INSTANCE:
             inst = jax.vmap(lambda cl, m: postprocess.instance_inference(
                 cl, m, topk=Q))(
@@ -233,15 +241,27 @@ class EvalRunner:
         self.bucket_hw = new
         self._infer = jax.jit(self._infer_impl)
 
-    def infer(self, batch: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    def stage(self, batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
+        """Start the host->device upload of a batch's device-side arrays.
+        Call from a prefetch thread to overlap the transfer with the
+        previous batch's compute; pass the result to infer(staged=...).
+
+        gt arrays stay on host (they are only for the metric accumulators;
+        shipping 100x1024^2 masks to device would dominate transfer time).
+        padding_mask is only needed on device as the content-extent
+        fallback — skipped when resized_hw already carries that."""
+        skip = {"dataset_type", "image_id", "num_class_names", "gt_masks",
+                "gt_labels", "gt_valid", "file_name"}
+        if "resized_hw" in batch:
+            skip.add("padding_mask")
+        return {k: jnp.asarray(v) for k, v in batch.items() if k not in skip}
+
+    def infer(self, batch: Dict[str, np.ndarray],
+              staged: Optional[Dict[str, jnp.ndarray]] = None
+              ) -> Dict[str, Any]:
         if "original_hw" in batch:
             self._maybe_grow_bucket(batch)
-        # gt arrays stay on host (they are only for the metric accumulators;
-        # shipping 100x1024^2 masks to device would dominate transfer time)
-        jbatch = {k: jnp.asarray(v) for k, v in batch.items()
-                  if k not in ("dataset_type", "image_id", "num_class_names",
-                               "gt_masks", "gt_labels", "gt_valid",
-                               "file_name")}
+        jbatch = staged if staged is not None else self.stage(batch)
         if self._window_enabled and (
                 self._batches_seen % self.window_check_every == 0):
             self._check_window_mode(jbatch)

@@ -97,6 +97,13 @@ class PSALM(nn.Module):
         (train.py:416-442, frozen unless --train_backbone), so drop-path only
         activates when the caller explicitly trains the backbone (pass a
         'dropout' rng through apply in that case)."""
+        if images.dtype == jnp.uint8:
+            # device-side ImageNet normalization: the mapper may ship raw
+            # uint8 canvases (4x less host->device traffic than normalized
+            # f32); identical math to data/mappers.py PIXEL_MEAN/STD
+            mean = jnp.asarray([123.675, 116.28, 103.53], jnp.float32)
+            std = jnp.asarray([58.395, 57.12, 57.375], jnp.float32)
+            images = (images.astype(jnp.float32) - mean) / std
         feats = self.vision_tower(images, deterministic=not (
             train and self.train_backbone))
         if train and not self.train_backbone:

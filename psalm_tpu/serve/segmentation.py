@@ -53,7 +53,8 @@ class SegmentService:
             num_image_tokens=(cfg.image_size // 64) ** 2,
             num_seg_queries=cfg.mask_decoder.num_queries,
             pad_len=max_length)
-        self.mapper = ImageMapper(cfg.image_size)
+        self.mapper = ImageMapper(cfg.image_size,
+                                  device_normalize=True)
         self._runners: Dict[SegTask, Any] = {}
 
     # -- internals -----------------------------------------------------------

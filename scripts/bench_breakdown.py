@@ -80,3 +80,26 @@ is_thing = jnp.asarray([i % 2 == 0 for i in range(K - 1)])
 pp = jax.jit(lambda cl, m: panoptic_inference(cl, m, is_thing))
 timed("panoptic postprocess 256", pp, out["pred_class_name_logits"][0],
       out["pred_masks"][0])
+
+# round-3 geometry path: crop-resize to the COCO bucket + heads at 640
+from psalm_tpu.eval import geometry
+
+BUCKET = (640, 640)
+content = jnp.asarray([[768, 1024]], jnp.int32)
+original = jnp.asarray([[480, 640]], jnp.int32)
+
+geom = jax.jit(lambda m, c, o: jax.vmap(
+    lambda mm, cc, oo: geometry.crop_resize_to_original(
+        mm, cc, oo, cfg.image_size, BUCKET))(m, c, o))
+mo = timed("crop-resize to 640 bucket", geom, out["pred_masks"], content,
+           original)
+
+valid = jax.vmap(lambda o: geometry.valid_mask(o, BUCKET))(original)
+pp640 = jax.jit(lambda cl, m, v: panoptic_inference(cl, m, is_thing, v))
+timed("panoptic merge @640", pp640, out["pred_class_name_logits"][0],
+      mo[0], valid[0])
+
+from psalm_tpu.eval.postprocess import semantic_inference
+sem = jax.jit(lambda cl, m: jnp.argmax(semantic_inference(cl, m), axis=0))
+timed("semantic head+argmax @640", sem, out["pred_class_name_logits"][0],
+      mo[0])
