@@ -75,6 +75,12 @@ def _build(mode: str, radius: float):
     params = jax.jit(lambda r, b: model.init(r, b, use_class_names=True,
                                              num_class_names=K))(
         jax.random.PRNGKey(0), batch)
+    # bf16 param storage, like the serving/eval loader (models/builder.py):
+    # f32 params double the HBM weight reads and, at batch>1 with pipelined
+    # dispatch, push the 16 GB chip into buffer paging
+    params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, params)
     is_thing = [i % 2 == 0 for i in range(K - 1)]
     runner = EvalRunner(model, params, cfg, num_class_names=K,
                         is_thing=is_thing, bucket_hw=BUCKET_HW,

@@ -107,7 +107,7 @@ class BaseTaskDataset:
         N = self.cfg.max_gt_masks
         S = self.cfg.image_size
         n = min(len(gt["gt_classes"]), N)
-        masks = np.zeros((N, S, S), np.float32)
+        masks = np.zeros((N, S, S), np.uint8)
         labels = np.zeros((N,), np.int64)
         valid = np.zeros((N,), bool)
         masks[:n] = gt["gt_masks"][:n]
@@ -196,6 +196,10 @@ class InstanceDataset(BaseTaskDataset):
             self.data = json.load(f)
         self.image_folder = image_folder
         self.coco_id_to_cont_id = {cid: i for i, cid in enumerate(COCO_CLASS_IDS)}
+        # original sizes -> tight eval bucket for the original-grid heads
+        self.image_sizes = [
+            (r["image_info"]["height"], r["image_info"]["width"])
+            for r in self.data if "image_info" in r] or None
         super().__init__(tokenizer, cfg, is_train=is_train)
 
     def _record_targets(self, rec):
@@ -285,6 +289,27 @@ class ReferringDataset(InstanceDataset):
 
     def __init__(self, json_path, image_folder, tokenizer, cfg, is_train=True):
         super().__init__(json_path, image_folder, tokenizer, cfg, is_train)
+
+    def original_gt_mask(self, idx):
+        """Union gt mask decoded at the ORIGINAL (H, W) — the reference's
+        referring/gRefCOCO evals decode annotation RLEs/polygons at original
+        resolution (referring_segmentation.py:252-271), never the padded
+        frame. Host-side only (no static-shape constraint)."""
+        from psalm_tpu.data import coco_rle
+        rec = self.data[idx]
+        H = rec["image_info"]["height"]
+        W = rec["image_info"]["width"]
+        gt = np.zeros((H, W), bool)
+        for a in rec["anns"]:
+            seg = a.get("segmentation")
+            if seg is None:
+                continue
+            if isinstance(seg, dict):
+                m = coco_rle.decode(seg)
+            else:
+                m = coco_rle.merge_polygons_to_mask(seg, H, W)
+            gt |= m.astype(bool)
+        return gt
 
     def __getitem__(self, idx):
         rec = self.data[idx]

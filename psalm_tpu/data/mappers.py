@@ -115,9 +115,12 @@ class ImageMapper:
                 masks.append(pan_id == seg["id"])
         S = self.image_size
         if masks:
-            gt_masks = np.stack(masks).astype(np.float32)
+            # uint8: binary masks at 1024^2 x 100 per sample are the
+            # dominant host->device train traffic; the criterion casts on
+            # device (targets["masks"].astype(f32))
+            gt_masks = np.stack(masks).astype(np.uint8)
         else:
-            gt_masks = np.zeros((0, S, S), np.float32)
+            gt_masks = np.zeros((0, S, S), np.uint8)
         return {"gt_classes": np.asarray(classes, np.int64),
                 "gt_masks": gt_masks}
 
@@ -137,8 +140,8 @@ class ImageMapper:
             classes.append(ann["category_id"])
             masks.append(self.transform_mask(m))
         S = self.image_size
-        gt_masks = (np.stack(masks).astype(np.float32) if masks
-                    else np.zeros((0, S, S), np.float32))
+        gt_masks = (np.stack(masks).astype(np.uint8) if masks
+                    else np.zeros((0, S, S), np.uint8))
         return {"gt_classes": np.asarray(classes, np.int64),
                 "gt_masks": gt_masks}
 

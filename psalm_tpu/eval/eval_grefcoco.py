@@ -78,7 +78,10 @@ def evaluation(args, cfg=None, tokenizer=None, model=None, variables=None):
                       pad_len=args.model_max_length)
     ds = ReferringDataset(args.json_path, args.image_folder, tokenizer, dcfg,
                           is_train=False)
-    runner = EvalRunner(model, variables, cfg)
+    from psalm_tpu.eval.runner import bucket_for_sizes
+    bucket = (bucket_for_sizes(ds.image_sizes)
+              if getattr(ds, 'image_sizes', None) else None)
+    runner = EvalRunner(model, variables, cfg, bucket_hw=bucket)
     meter = GRefCOCOMeter()
     pred_writer = None
     if getattr(args, "output_dir", None):
@@ -92,7 +95,6 @@ def evaluation(args, cfg=None, tokenizer=None, model=None, variables=None):
         batch = collate([s])
         out = runner.infer(batch)
         ref = out["referring"]
-        rh, ow = s["resized_hw"], s["original_hw"]
         masks = ref["masks"][0]
         scores = ref["scores"][0]
         over = [masks[q] for q in range(len(scores)) if scores[q] > args.thr]
@@ -101,11 +103,8 @@ def evaluation(args, cfg=None, tokenizer=None, model=None, variables=None):
             fused = masks[int(np.argmax(scores))]
         pred = np.asarray(fused, bool)  # already at original resolution
 
-        n_gt = int(s["gt_valid"].sum())
-        gt = np.zeros(tuple(ow), bool)
-        for gi in range(n_gt):
-            gt |= EvalRunner.restore_map(
-                s["gt_masks"][gi].astype(np.uint8), rh, ow).astype(bool)
+        # gt decoded at the original (H, W) (reference eval_grefcoco gt path)
+        gt = ds.original_gt_mask(i)
         meter.update(pred, gt)
         if pred_writer is not None:
             pred_writer.add(s["file_name"], [pred], [gt])

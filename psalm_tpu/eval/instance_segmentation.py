@@ -41,7 +41,10 @@ def evaluation(args, cfg=None, tokenizer=None, model=None, variables=None):
     ds = InstanceDataset(args.json_path, args.image_folder, tokenizer, dcfg,
                          is_train=False)
     K = len(ds.coco_class_name)
-    runner = EvalRunner(model, variables, cfg, num_class_names=K)
+    from psalm_tpu.eval.runner import bucket_for_sizes
+    bucket = (bucket_for_sizes(ds.image_sizes)
+              if getattr(ds, 'image_sizes', None) else None)
+    runner = EvalRunner(model, variables, cfg, bucket_hw=bucket, num_class_names=K)
     evaluator = InstanceAPEvaluator(list(range(K - 1)))
     writer = None
     if args.output_dir:

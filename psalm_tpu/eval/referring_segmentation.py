@@ -40,7 +40,10 @@ def evaluation(args, cfg=None, tokenizer=None, model=None, variables=None):
                       pad_len=args.model_max_length)
     ds = ReferringDataset(args.json_path, args.image_folder, tokenizer, dcfg,
                           is_train=False)
-    runner = EvalRunner(model, variables, cfg)
+    from psalm_tpu.eval.runner import bucket_for_sizes
+    bucket = (bucket_for_sizes(ds.image_sizes)
+              if getattr(ds, 'image_sizes', None) else None)
+    runner = EvalRunner(model, variables, cfg, bucket_hw=bucket)
     meter = IoUMeter()
     pred_writer = None
     if args.output_dir:
@@ -55,16 +58,11 @@ def evaluation(args, cfg=None, tokenizer=None, model=None, variables=None):
         out = runner.infer(batch)
         ref = out["referring"]
         for b, s in enumerate(samples):
-            rh, ow = s["resized_hw"], s["original_hw"]
             # top-1 by SEG score x mask quality (SEG_instance_inference)
             top = int(np.argmax(ref["scores"][b]))
             pred = ref["masks"][b][top].astype(bool)  # original resolution
-            n_gt = int(s["gt_valid"].sum())
-            gt = np.zeros(tuple(ow), bool)
-            for gi in range(n_gt):
-                m = EvalRunner.restore_map(
-                    s["gt_masks"][gi].astype(np.uint8), rh, ow).astype(bool)
-                gt |= m
+            # gt decoded at the original (H, W), the reference's convention
+            gt = ds.original_gt_mask(i + b)
             meter.update(pred, gt)
             if pred_writer is not None:
                 pred_writer.add(s["file_name"], [pred], [gt])

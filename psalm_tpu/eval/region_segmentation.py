@@ -47,7 +47,10 @@ def evaluation(args, cfg=None, tokenizer=None, model=None, variables=None):
     ds = InteractiveDataset(args.json_path, args.image_folder, tokenizer, dcfg,
                             is_train=False,
                             region_mask_type=args.region_mask_type)
-    runner = EvalRunner(model, variables, cfg)
+    from psalm_tpu.eval.runner import bucket_for_sizes
+    bucket = (bucket_for_sizes(ds.image_sizes)
+              if getattr(ds, 'image_sizes', None) else None)
+    runner = EvalRunner(model, variables, cfg, bucket_hw=bucket)
     meter = IoUMeter()
     pred_writer = None
     if args.output_dir:

@@ -47,10 +47,20 @@ class EvalRunner:
     def __init__(self, model, variables, cfg: PSALMConfig, num_class_names=None,
                  is_thing=None, window_clamp_threshold: float = 1e-3,
                  bucket_hw: Optional[Tuple[int, int]] = None,
-                 window_check_every: int = 50):
+                 window_check_every: int = 50, mesh=None):
         self.model = model
         self.variables = variables
         self.cfg = cfg
+        # data-parallel eval: with a Mesh (axis 'data'), staged batches are
+        # sharded over it and the jitted program runs SPMD — batch size must
+        # be a multiple of the data-axis size. Params are replicated unless
+        # the caller already sharded them.
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            self._batch_sharding = NamedSharding(mesh, PartitionSpec("data"))
+            self.variables = jax.device_put(
+                variables, NamedSharding(mesh, PartitionSpec()))
         self.task = cfg.seg_task
         self.num_class_names = num_class_names or cfg.num_classes + 1
         self.is_thing = (np.asarray(is_thing, bool) if is_thing is not None
@@ -254,6 +264,9 @@ class EvalRunner:
                 "gt_labels", "gt_valid", "file_name"}
         if "resized_hw" in batch:
             skip.add("padding_mask")
+        if self.mesh is not None:
+            return {k: jax.device_put(jnp.asarray(v), self._batch_sharding)
+                    for k, v in batch.items() if k not in skip}
         return {k: jnp.asarray(v) for k, v in batch.items() if k not in skip}
 
     def infer(self, batch: Dict[str, np.ndarray],

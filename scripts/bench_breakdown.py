@@ -37,12 +37,15 @@ def _sync(out):
 def timed(name, fn, *args, iters=6):
     out = fn(*args)
     _sync(out)
+    # per-iter sync would add the tunneled backend's RPC floor to every
+    # iteration; dispatch all iters asynchronously and sync ONCE, so the
+    # per-iter figure is device time (one amortized RPC across iters)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-        _sync(out)
+    _sync(out)
     dt = (time.perf_counter() - t0) / iters
-    print(f"{name:28s} {dt*1000:8.1f} ms")
+    print(f"{name:28s} {dt*1000:8.1f} ms", flush=True)
     return out
 
 imgs = batch["images"]
