@@ -78,7 +78,15 @@ class Generator:
 
         self._prefill = jax.jit(prefill)
         self._decode = jax.jit(decode)
-        self._decode_chunk = jax.jit(decode_chunk, static_argnums=(6,))
+        # donate the KV caches: without aliasing, every chunk dispatch pays a
+        # full cache copy before the first in-place update can happen.
+        # (PSALM_DECODE_DONATE=0 opts out — useful on runtimes where donated
+        # buffers are handled pathologically.)
+        import os
+        donate = (3,) if os.environ.get("PSALM_DECODE_DONATE", "1") == "1" \
+            else ()
+        self._decode_chunk = jax.jit(decode_chunk, static_argnums=(6,),
+                                     donate_argnums=donate)
 
     def generate(self, batch: Dict[str, np.ndarray], max_new_tokens: int = 128,
                  temperature: float = 0.0, eos_id: Optional[int] = None,

@@ -78,8 +78,16 @@ class PhiAttention(nn.Module):
     def __call__(self, x, attn_bias, positions, cache=None):
         """x: [B, L, D]; attn_bias: [B, 1, L, S] additive f32; positions [B, L].
 
-        cache: optional dict(k=[B, S, h, hd], v=..., index=int) for decode.
+        cache: optional dict(k=[B, h, hd, S], v=..., index=int) for decode.
         Returns (out, new_cache).
+
+        KV-cache layout note (TPU): the cache stores K/V as [B, h, hd, S] so
+        the (hd=64, S) minor dims tile cleanly onto the (sublane, 128-lane)
+        vregs — a [.., S, h, 64] layout pads the 64-wide minor dim to 128
+        lanes and doubles the HBM bytes every decode step re-reads. Dots use
+        preferred_element_type=f32 (bf16 operands, f32 accumulation — bf16
+        products are exact in f32) instead of materializing f32 casts of the
+        whole cache.
         """
         c = self.cfg
         B, L, D = x.shape
@@ -92,15 +100,23 @@ class PhiAttention(nn.Module):
         q = apply_partial_rotary(q, cos, sin, c.rotary_dim)
         k = apply_partial_rotary(k, cos, sin, c.rotary_dim)
 
-        new_cache = None
         if cache is not None:
             idx = cache["index"]
-            ck = jax.lax.dynamic_update_slice(cache["k"], k.astype(cache["k"].dtype),
-                                              (0, idx, 0, 0))
-            cv = jax.lax.dynamic_update_slice(cache["v"], v.astype(cache["v"].dtype),
-                                              (0, idx, 0, 0))
-            k, v = ck, cv
+            k_t = jnp.transpose(k, (0, 2, 3, 1)).astype(cache["k"].dtype)
+            v_t = jnp.transpose(v, (0, 2, 3, 1)).astype(cache["v"].dtype)
+            ck = jax.lax.dynamic_update_slice(cache["k"], k_t, (0, 0, 0, idx))
+            cv = jax.lax.dynamic_update_slice(cache["v"], v_t, (0, 0, 0, idx))
             new_cache = dict(k=ck, v=cv, index=idx + L)
+            qh = jnp.transpose(q, (0, 2, 1, 3))  # [B, h, L, hd]
+            attn = jnp.einsum("bhld,bhds->bhls", qh, ck,
+                              preferred_element_type=jnp.float32)
+            attn = attn / jnp.sqrt(hd).astype(jnp.float32) + attn_bias
+            attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhls,bhds->bhld", attn,
+                             cv.astype(self.dtype),
+                             preferred_element_type=self.dtype)
+            out = jnp.transpose(out, (0, 2, 1, 3)).reshape(B, L, D)
+            return _dense(c, D, self.dtype, "dense")(out), new_cache
 
         if self.use_flash and cache is None and L > 1:
             # fused TPU flash attention; sequences are right-padded so plain
@@ -125,14 +141,18 @@ class PhiAttention(nn.Module):
                 out = out[:, :, :L]
             out = jnp.transpose(out, (0, 2, 1, 3)).astype(self.dtype)
         else:
-            # f32 attention logits (Phi trains attention in fp32 autocast).
-            attn = jnp.einsum("blhd,bshd->bhls", q.astype(jnp.float32),
-                              k.astype(jnp.float32)) / jnp.sqrt(hd).astype(jnp.float32)
+            # f32 attention logits (Phi trains attention in fp32 autocast):
+            # bf16 operands with f32 accumulation — identical products (bf16
+            # pairs are exact in f32), one MXU pass instead of the 3-6 an
+            # f32xf32 dot costs, and no materialized f32 copy of K.
+            attn = jnp.einsum("blhd,bshd->bhls", q, k,
+                              preferred_element_type=jnp.float32)
+            attn = attn / jnp.sqrt(hd).astype(jnp.float32)
             attn = attn + attn_bias
             attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
             out = jnp.einsum("bhls,bshd->blhd", attn, v.astype(self.dtype))
         out = out.reshape(B, L, D)
-        return _dense(c, D, self.dtype, "dense")(out), new_cache
+        return _dense(c, D, self.dtype, "dense")(out), None
 
 
 class PhiDecoderLayer(nn.Module):
@@ -201,7 +221,7 @@ class PhiModel(nn.Module):
                 bias = bias + pad.astype(jnp.float32)
         else:
             # decode: keys live in the cache of static length S.
-            S = caches[0]["k"].shape[1]
+            S = caches[0]["k"].shape[-1]
             kpos = jnp.arange(S)[None, None, :]
             causal = positions[:, :, None] >= kpos
             written = kpos < (caches[0]["index"] + L)
@@ -217,9 +237,11 @@ class PhiModel(nn.Module):
         return x, (new_caches if caches is not None else None)
 
     def init_cache(self, batch: int, max_len: int, dtype=jnp.bfloat16):
+        # [B, h, hd, S] — lane dim S, sublane dim hd: no vreg padding (see
+        # PhiAttention docstring).
         c = self.cfg
-        return [dict(k=jnp.zeros((batch, max_len, c.num_heads, c.head_dim), dtype),
-                     v=jnp.zeros((batch, max_len, c.num_heads, c.head_dim), dtype),
+        return [dict(k=jnp.zeros((batch, c.num_heads, c.head_dim, max_len), dtype),
+                     v=jnp.zeros((batch, c.num_heads, c.head_dim, max_len), dtype),
                      index=jnp.asarray(0, jnp.int32))
                 for _ in range(c.num_layers)]
 

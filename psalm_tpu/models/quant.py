@@ -19,6 +19,7 @@ f32/bf16 tree in place.
 
 from __future__ import annotations
 
+import math
 from typing import Any, Dict, Sequence
 
 import numpy as np
@@ -67,11 +68,18 @@ class Quant4Dense(nn.Module):
     reference builder.py:31-40 — which is config-only passthrough; this is a
     real group-quantized implementation).
 
-    Storage: kernel_q4 int8 [in/2, out] — low nibble = even input row, high
-    nibble = odd input row — plus per-(group, out) f32 scales (group along
-    the input axis). Unpacking is two shifts (the (x<<4)>>4 arithmetic-shift
-    trick sign-extends the low nibble), fused by XLA into the operand load;
-    HBM weight traffic quarters vs bf16."""
+    Storage: kernel_q4 int8 [in/2, out] — LOW nibble = input row i (first
+    half of the input axis), HIGH nibble = input row in/2 + i (second half)
+    — plus per-(group, out) f32 scales (group along the input axis).
+
+    Decode-path fusion note: the original even/odd interleaved packing
+    needed a stack+reshape to rebuild [in, out], and the per-group scale a
+    repeat+multiply on the weight — neither fuses into a TPU dot's operand
+    load, so XLA materialized a dequantized bf16 kernel every step and int4
+    decode measured SLOWER than bf16 (34 tok/s). This layout needs only an
+    arithmetic shift per half (the (x<<4)>>4 trick sign-extends the low
+    nibble), which fuses into the operand read like int8's convert does,
+    and the group scales ride the OUTPUT of per-group partial dots."""
 
     features: int
     use_bias: bool = True
@@ -81,16 +89,30 @@ class Quant4Dense(nn.Module):
     @nn.compact
     def __call__(self, x):
         in_f = x.shape[-1]
-        assert in_f % 2 == 0 and in_f % self.group == 0, (in_f, self.group)
+        half = in_f // 2
+        # groups may not straddle the half boundary; shrink to gcd when the
+        # configured group doesn't divide the half (tiny test configs)
+        group = math.gcd(half, self.group)
+        G = in_f // group
+        assert in_f % 2 == 0, in_f
         kq = self.param("kernel_q4", nn.initializers.zeros,
-                        (in_f // 2, self.features), jnp.int8)
+                        (half, self.features), jnp.int8)
         scale = self.param("scale", nn.initializers.ones,
-                           (in_f // self.group, self.features), jnp.float32)
+                           (G, self.features), jnp.float32)
         low = jnp.right_shift(jnp.left_shift(kq, 4), 4)
         high = jnp.right_shift(kq, 4)
-        k = jnp.stack([low, high], axis=1).reshape(in_f, self.features)
-        s = jnp.repeat(scale, self.group, axis=0)
-        y = x @ (k.astype(self.dtype) * s.astype(self.dtype))
+        lead = x.shape[:-1]
+        xg = x.reshape(*lead, 2, G // 2, group)
+        # per-group partial sums: int4→dtype shift+convert fuses into the
+        # batched dot's operand load; scale applies to the [.., G, out]
+        # partials (output fusion), never to a materialized weight
+        kg_lo = low.reshape(G // 2, group, self.features).astype(self.dtype)
+        kg_hi = high.reshape(G // 2, group, self.features).astype(self.dtype)
+        p_lo = jnp.einsum("...gd,gdo->...go", xg[..., 0, :, :], kg_lo)
+        p_hi = jnp.einsum("...gd,gdo->...go", xg[..., 1, :, :], kg_hi)
+        part = jnp.concatenate([p_lo, p_hi], axis=-2)  # [..., G, out]
+        y = jnp.einsum("...go,go->...o", part, scale.astype(part.dtype))
+        y = y.astype(self.dtype)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros,
                               (self.features,), jnp.float32)
@@ -99,17 +121,22 @@ class Quant4Dense(nn.Module):
 
 
 def quantize_kernel_int4(kernel: np.ndarray, group: int = 64):
-    """[in, out] float -> (packed int8 [in/2, out], f32 scale [in/group, out])."""
+    """[in, out] float -> (packed int8 [in/2, out], f32 scale [in/group, out]).
+
+    Half-split packing (see Quant4Dense): byte i holds input row i in the
+    low nibble and input row in/2 + i in the high nibble."""
     k = np.asarray(kernel, np.float32)
     in_f, out_f = k.shape
-    assert in_f % 2 == 0 and in_f % group == 0, (k.shape, group)
+    half = in_f // 2
+    assert in_f % 2 == 0, k.shape
+    group = math.gcd(half, group)  # match Quant4Dense's half-boundary rule
     kg = k.reshape(in_f // group, group, out_f)
     amax = np.abs(kg).max(axis=1)
     scale = np.where(amax > 0, amax / 7.0, 1.0).astype(np.float32)
     q = np.clip(np.round(kg / scale[:, None, :]), -7, 7).astype(np.int8)
     q = q.reshape(in_f, out_f)
-    packed = ((q[1::2].astype(np.uint8) << 4)
-              | (q[0::2].astype(np.uint8) & 0xF)).astype(np.int8)
+    packed = ((q[half:].astype(np.uint8) << 4)
+              | (q[:half].astype(np.uint8) & 0xF)).astype(np.int8)
     return packed, scale
 
 

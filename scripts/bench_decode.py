@@ -69,6 +69,10 @@ def bench_variant(name, quant_bits, cast_bf16, chunks=(8, 16, 32, 64)):
         from psalm_tpu.models.quant import quantize_phi_int8
         variables = jax.device_put(quantize_phi_int8(
             jax.tree.map(np.asarray, variables)))
+    if quant_bits == 4:
+        from psalm_tpu.models.quant import quantize_phi_int4
+        variables = jax.device_put(quantize_phi_int4(
+            jax.tree.map(np.asarray, variables)))
     if cast_bf16:
         def cast(x):
             return (x.astype(jnp.bfloat16)
@@ -104,6 +108,8 @@ def main():
             results["bf16"] = bench_variant("bf16", 0, True)
         elif v == "int8":
             results["int8"] = bench_variant("int8", 8, True)
+        elif v == "int4":
+            results["int4"] = bench_variant("int4", 4, True)
     print(json.dumps(results))
 
 

@@ -17,6 +17,7 @@ Run on TPU:
 """
 import dataclasses
 import json
+import os
 import sys
 import time
 
@@ -38,6 +39,13 @@ import __graft_entry__ as ge
 import optax
 
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+# knobs so one TPU session can bisect the step cost:
+#   PSALM_TB_REMAT=0   drop jax.remat (recompute) — costs ~1 extra fwd
+#   PSALM_TB_RADIUS=4  window radius for the msdeform backward
+#   PSALM_TB_FLASH=1   flash attention in Phi (train-side)
+REMAT = os.environ.get("PSALM_TB_REMAT", "1") == "1"
+RADIUS = float(os.environ.get("PSALM_TB_RADIUS", "8"))
+FLASH = os.environ.get("PSALM_TB_FLASH", "0") == "1"
 
 
 def timed(fn, *args, iters=4, warmup=1, label=""):
@@ -59,11 +67,11 @@ def main():
     cfg = PSALMConfig(compute_dtype="bfloat16")
     cfg = cfg.replace(
         pixel_decoder=dataclasses.replace(
-            cfg.pixel_decoder, attention_mode="window", window_radius=8.0,
+            cfg.pixel_decoder, attention_mode="window", window_radius=RADIUS,
             window_scan_tiles=False),
         phi=dataclasses.replace(cfg.phi, lora_rank=8))
     K = cfg.num_classes + 1
-    model = PSALM(cfg, dtype=jnp.bfloat16, remat=True)
+    model = PSALM(cfg, dtype=jnp.bfloat16, remat=REMAT, use_flash=FLASH)
     batch = ge._panoptic_batch(cfg, B=B, num_classes=K)
     N = 20
     rng = np.random.RandomState(0)
@@ -155,7 +163,8 @@ def main():
                                  key, label="full_step")
 
     results = {k: round(v * 1e3, 1) for k, v in results.items()}
-    print(json.dumps({"batch": B, "ms": results}))
+    print(json.dumps({"batch": B, "remat": REMAT, "radius": RADIUS,
+                      "flash": FLASH, "ms": results}))
 
 
 if __name__ == "__main__":

@@ -180,10 +180,11 @@ def test_int4_pack_roundtrip_error_bounded():
     packed, scale = quantize_kernel_int4(k, group=64)
     assert packed.shape == (64, 24) and packed.dtype == np.int8
     assert scale.shape == (2, 24)
-    # unpack the same way the module does
+    # unpack the same way the module does (half-split: byte i = low nibble
+    # row i, high nibble row half+i)
     low = (packed.astype(np.int8) << 4).astype(np.int8) >> 4
     high = packed.astype(np.int8) >> 4
-    q = np.stack([low, high], axis=1).reshape(128, 24).astype(np.float32)
+    q = np.concatenate([low, high], axis=0).astype(np.float32)
     deq = q * np.repeat(scale, 64, axis=0)
     err = np.abs(deq - k)
     bound = np.repeat(scale, 64, axis=0) / 2 + 1e-6
