@@ -97,8 +97,12 @@ class Generator:
         token granularity (tokens past a sequence's EOS are dropped)."""
         # clamp: chunk_size flows in from client requests (model_worker);
         # 0 would loop forever, negatives raise inside lax.scan, and each
-        # distinct value is a static jit arg -> a fresh compile, so cap it
-        chunk_size = max(1, min(int(chunk_size), 64))
+        # distinct value is a static jit arg -> a fresh compile, so cap it.
+        # Cap 128: on a tunneled runtime each dispatch carries a ~100 ms
+        # arg-marshaling/RPC floor, so one dispatch per max_new_tokens=128
+        # request is the sweet spot; EOS past-end tokens are wasted work but
+        # decode is ~6 ms/token vs the floor.
+        chunk_size = max(1, min(int(chunk_size), 128))
         B = batch["tok_ids"].shape[0]
         caches = self.model.apply(
             self.variables, B, self.max_len,

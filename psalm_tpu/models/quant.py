@@ -72,14 +72,19 @@ class Quant4Dense(nn.Module):
     half of the input axis), HIGH nibble = input row in/2 + i (second half)
     — plus per-(group, out) f32 scales (group along the input axis).
 
-    Decode-path fusion note: the original even/odd interleaved packing
-    needed a stack+reshape to rebuild [in, out], and the per-group scale a
-    repeat+multiply on the weight — neither fuses into a TPU dot's operand
-    load, so XLA materialized a dequantized bf16 kernel every step and int4
-    decode measured SLOWER than bf16 (34 tok/s). This layout needs only an
-    arithmetic shift per half (the (x<<4)>>4 trick sign-extends the low
-    nibble), which fuses into the operand read like int8's convert does,
-    and the group scales ride the OUTPUT of per-group partial dots."""
+    Decode-path fusion note (measured on v5e): the original even/odd
+    interleaved packing needed a stack+reshape to rebuild [in, out], which
+    forced XLA to materialize a dequantized bf16 kernel every decode step —
+    int4 decode measured SLOWER than bf16 (34 tok/s). This half-split
+    layout needs only an arithmetic shift per half (the (x<<4)>>4 trick
+    sign-extends the low nibble) and applies group scales to the OUTPUT of
+    per-group partial dots, never to a materialized weight. That fixed the
+    catastrophic regression (5.77 ms/tok, on par with bf16's 5.70) but the
+    nibble shifts still do NOT fuse into the dot's operand load the way
+    int8's plain convert does, so int4 buys HBM *capacity* (fits the 1.4B
+    Phi in ~0.7 GB), not decode bandwidth — use int8 (4.26 ms/tok) for
+    serving speed. A Pallas int4-matvec kernel is the known path to real
+    int4 bandwidth wins if capacity+speed are ever needed together."""
 
     features: int
     use_bias: bool = True

@@ -52,7 +52,7 @@ def gen_batch(cfg):
     return batch
 
 
-def bench_variant(name, quant_bits, cast_bf16, chunks=(8, 16, 32, 64)):
+def bench_variant(name, quant_bits, cast_bf16, chunks=(16, 32, 64, 128)):
     import dataclasses
     cfg = PSALMConfig(compute_dtype="bfloat16")
     if quant_bits:
@@ -87,13 +87,23 @@ def bench_variant(name, quant_bits, cast_bf16, chunks=(8, 16, 32, 64)):
         toks = gen.generate(batch, max_new_tokens=NEW_TOKENS,
                             chunk_size=chunk)
         warm = time.perf_counter() - t0  # includes compile
+        # full-request rate (prefill + decode in the denominator)
         t0 = time.perf_counter()
         toks = gen.generate(batch, max_new_tokens=NEW_TOKENS,
                             chunk_size=chunk)
         dt = time.perf_counter() - t0
         tps = toks.shape[1] / dt
-        out[chunk] = round(tps, 1)
-        print(f"[{name}] chunk={chunk}: {tps:.1f} tok/s "
+        # steady-state decode rate: difference method (full vs half-length
+        # request at the same chunk size) cancels prefill and per-request
+        # fixed costs; per-chunk dispatch overheads stay in, proportionally
+        half = NEW_TOKENS // 2
+        t0 = time.perf_counter()
+        gen.generate(batch, max_new_tokens=half, chunk_size=chunk)
+        dt_short = time.perf_counter() - t0
+        steady = (NEW_TOKENS - half) / max(dt - dt_short, 1e-9)
+        out[chunk] = {"request": round(tps, 1), "decode": round(steady, 1)}
+        print(f"[{name}] chunk={chunk}: {tps:.1f} tok/s request, "
+              f"{steady:.1f} tok/s steady-state decode "
               f"(first incl compile {warm:.1f}s)", file=sys.stderr)
     return out
 
