@@ -36,32 +36,40 @@ def _solve_single(cost: jnp.ndarray, n_valid: jnp.ndarray
     def augment_row(i, carry):
         u, v, col4row, row4col = carry
 
-        # --- Dijkstra from row i over columns (scipy _lsap.c structure) ---
-        def dij_cond(st):
-            _, _, _, _, sink, _, _ = st
-            return sink < 0
-
-        def dij_body(st):
+        # --- Dijkstra from row i over columns (scipy _lsap.c structure).
+        # Statically bounded: each live iteration scans exactly one new
+        # column, so Q iterations always suffice; once the sink is found the
+        # state freezes. A data-dependent while_loop here is semantically
+        # identical, but the axon TPU runtime rejects grad programs that
+        # combine nested while_loops with scatter backward ops
+        # (INVALID_ARGUMENT at dispatch) — counted fori_loops avoid it, and
+        # make the cost deterministic.
+        def dij_body(_, st):
             cur, sr, sc, spc, sink, minval, path = st
-            sr = sr.at[cur].set(True)
+            done = sink >= 0
+            sr2 = sr.at[cur].set(True)
             red = minval + cost[cur] - u[cur] - v  # [Q]
             better = (~sc) & (red < spc)
-            spc = jnp.where(better, red, spc)
-            path = jnp.where(better, cur, path)
-            j = jnp.argmin(jnp.where(sc, INF, spc))
-            mv = spc[j]
+            spc2 = jnp.where(better, red, spc)
+            path2 = jnp.where(better, cur, path)
+            j = jnp.argmin(jnp.where(sc, INF, spc2))
+            mv = spc2[j]
             owner = row4col[j]
-            new_sink = jnp.where(owner < 0, j, -1)
-            sc = sc.at[j].set(True)
-            cur = jnp.where(owner < 0, cur, owner)
-            return cur, sr, sc, spc, new_sink, mv, path
+            sink2 = jnp.where(owner < 0, j, -1)
+            sc2 = sc.at[j].set(True)
+            cur2 = jnp.where(owner < 0, cur, owner)
+            return (jnp.where(done, cur, cur2), jnp.where(done, sr, sr2),
+                    jnp.where(done, sc, sc2), jnp.where(done, spc, spc2),
+                    jnp.where(done, sink, sink2),
+                    jnp.where(done, minval, mv),
+                    jnp.where(done, path, path2))
 
         sr0 = jnp.zeros((N,), bool)
         sc0 = jnp.zeros((Q,), bool)
         spc0 = jnp.full((Q,), INF)
         path0 = jnp.full((Q,), -1, jnp.int32)
-        cur, sr, sc, spc, sink, minval, path = jax.lax.while_loop(
-            dij_cond, dij_body,
+        cur, sr, sc, spc, sink, minval, path = jax.lax.fori_loop(
+            0, Q, dij_body,
             (i, sr0, sc0, spc0, jnp.int32(-1), jnp.float32(0.0), path0))
 
         # --- dual updates (exactly scipy's) ---
@@ -71,21 +79,22 @@ def _solve_single(cost: jnp.ndarray, n_valid: jnp.ndarray
         u = u + extra
         v = v + jnp.where(sc, spc - minval, 0.0)
 
-        # --- augment along the alternating path back from the sink ---
-        def aug_cond(st):
-            _, _, _, done = st
-            return ~done
-
-        def aug_body(st):
-            j, c4r, r4c, _ = st
+        # --- augment along the alternating path back from the sink.
+        # The path visits at most i+1 <= N distinct rows, so N counted
+        # iterations with a done-flag freeze replace the while_loop (same
+        # axon constraint as above).
+        def aug_body(_, st):
+            j, c4r, r4c, done = st
             ip = path[j]
-            r4c = r4c.at[j].set(ip)
+            r4c2 = r4c.at[j].set(ip)
             jnext = c4r[ip]
-            c4r = c4r.at[ip].set(j)
-            return jnext, c4r, r4c, ip == i
+            c4r2 = c4r.at[ip].set(j)
+            return (jnp.where(done, j, jnext),
+                    jnp.where(done, c4r, c4r2),
+                    jnp.where(done, r4c, r4c2), done | (ip == i))
 
-        _, col4row, row4col, _ = jax.lax.while_loop(
-            aug_cond, aug_body, (sink, col4row, row4col, False))
+        _, col4row, row4col, _ = jax.lax.fori_loop(
+            0, N, aug_body, (sink, col4row, row4col, False))
         return u, v, col4row, row4col
 
     u0 = jnp.zeros((N,))

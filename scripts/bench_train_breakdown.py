@@ -46,18 +46,33 @@ B = int(sys.argv[1]) if len(sys.argv) > 1 else 1
 REMAT = os.environ.get("PSALM_TB_REMAT", "1") == "1"
 RADIUS = float(os.environ.get("PSALM_TB_RADIUS", "8"))
 FLASH = os.environ.get("PSALM_TB_FLASH", "0") == "1"
+# PSALM_TB_STAGES=crit_fwd_bwd,full_step  -> run only those stages
+STAGES = [s for s in os.environ.get("PSALM_TB_STAGES", "").split(",") if s]
+# PSALM_TB_ASSIGN=scipy|lap|auction -> force the matcher implementation
+ASSIGN = os.environ.get("PSALM_TB_ASSIGN", "")
+
+
+def want(stage):
+    return not STAGES or stage in STAGES
 
 
 def timed(fn, *args, iters=4, warmup=1, label=""):
-    for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
-    times = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        # materialize a scalar — honest sync on the tunneled backend
-        np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
-        times.append(time.perf_counter() - t0)
+    """Median wall time; a failing stage reports -1 instead of killing the
+    run (the tunneled axon runtime can reject individual programs)."""
+    try:
+        for _ in range(warmup):
+            jax.block_until_ready(fn(*args))
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            out = fn(*args)
+            # materialize a scalar — honest sync on the tunneled backend
+            np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
+            times.append(time.perf_counter() - t0)
+    except Exception as e:  # noqa: BLE001 — keep the remaining stages
+        print(f"  {label:<18} FAILED: {type(e).__name__}: {e}",
+              file=sys.stderr)
+        return -1.0
     p50 = sorted(times)[len(times) // 2]
     print(f"  {label:<18} {p50 * 1e3:8.1f} ms", file=sys.stderr)
     return p50
@@ -84,6 +99,9 @@ def main():
     variables = jax.jit(lambda r, b: model.init(
         r, b, use_class_names=True, num_class_names=K))(
         jax.random.PRNGKey(0), batch)
+    if ASSIGN:
+        from psalm_tpu.train.criterion import set_assign_impl
+        set_assign_impl(ASSIGN)
     criterion = PSALMCriterion(cfg.loss, cfg.mask_decoder.num_queries)
     mask = psalm_finetune_mask(variables["params"])
     trainable, frozen = partition_params(variables["params"], mask)
@@ -100,9 +118,10 @@ def main():
         return model.apply(params, batch, train=True, use_class_names=True,
                            num_class_names=K)
 
-    fwd = jax.jit(lambda tr, fz, b: apply_model(tr, fz, b)["pred_masks"])
-    results["model_fwd"] = timed(fwd, trainable, frozen, batch,
-                                 label="model_fwd")
+    if want("model_fwd"):
+        fwd = jax.jit(lambda tr, fz, b: apply_model(tr, fz, b)["pred_masks"])
+        results["model_fwd"] = timed(fwd, trainable, frozen, batch,
+                                     label="model_fwd")
 
     # -- model forward+backward (criterion replaced by a constant-weight sum
     # over every supervised head so ALL the model's grad paths are exercised)
@@ -117,30 +136,35 @@ def main():
                     lo["pred_class_name_logits"].astype(jnp.float32) * 1e-6)
         return total
 
-    mg = jax.jit(lambda tr, fz, b: jax.grad(dummy_loss)(tr, fz, b))
-    results["model_fwd_bwd"] = timed(mg, trainable, frozen, batch,
-                                     label="model_fwd_bwd")
+    if want("model_fwd_bwd"):
+        mg = jax.jit(lambda tr, fz, b: jax.grad(dummy_loss)(tr, fz, b))
+        results["model_fwd_bwd"] = timed(mg, trainable, frozen, batch,
+                                         label="model_fwd_bwd")
 
     # -- criterion on materialized outputs (outputs as jit ARGS) ------------
     out_ex = jax.jit(apply_model)(trainable, frozen, batch)
     out_ex = jax.tree.map(lambda x: x, out_ex)
 
-    cf = jax.jit(lambda o, t, k: criterion(k, o, t, compute_class=True)
-                 ["loss_total"])
-    results["crit_fwd"] = timed(cf, out_ex, targets, key, label="crit_fwd")
+    if want("crit_fwd"):
+        cf = jax.jit(lambda o, t, k: criterion(k, o, t, compute_class=True)
+                     ["loss_total"])
+        results["crit_fwd"] = timed(cf, out_ex, targets, key,
+                                    label="crit_fwd")
 
     def crit_loss(o, t, k):
         return criterion(k, o, t, compute_class=True)["loss_total"]
 
-    cg = jax.jit(lambda o, t, k: jax.grad(crit_loss)(o, t, k))
-    results["crit_fwd_bwd"] = timed(cg, out_ex, targets, key,
-                                    label="crit_fwd_bwd")
+    if want("crit_fwd_bwd"):
+        cg = jax.jit(lambda o, t, k: jax.grad(crit_loss)(o, t, k))
+        results["crit_fwd_bwd"] = timed(cg, out_ex, targets, key,
+                                        label="crit_fwd_bwd")
 
     # -- criterion without deep supervision ----------------------------------
-    out_final = {k: v for k, v in out_ex.items() if k != "aux_outputs"}
-    cg1 = jax.jit(lambda o, t, k: jax.grad(crit_loss)(o, t, k))
-    results["crit_final_only"] = timed(cg1, out_final, targets, key,
-                                       label="crit_final_only")
+    if want("crit_final_only"):
+        out_final = {k: v for k, v in out_ex.items() if k != "aux_outputs"}
+        cg1 = jax.jit(lambda o, t, k: jax.grad(crit_loss)(o, t, k))
+        results["crit_final_only"] = timed(cg1, out_final, targets, key,
+                                           label="crit_final_only")
 
     # -- full step ------------------------------------------------------------
     tx = make_optimizer(6e-5, 1000)
@@ -159,8 +183,9 @@ def main():
         tr = optax.apply_updates(tr, updates)
         return loss
 
-    results["full_step"] = timed(step, trainable, frozen, opt_state, batch,
-                                 key, label="full_step")
+    if want("full_step"):
+        results["full_step"] = timed(step, trainable, frozen, opt_state,
+                                     batch, key, label="full_step")
 
     results = {k: round(v * 1e3, 1) for k, v in results.items()}
     print(json.dumps({"batch": B, "remat": REMAT, "radius": RADIUS,
