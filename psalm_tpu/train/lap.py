@@ -37,13 +37,16 @@ def _solve_single(cost: jnp.ndarray, n_valid: jnp.ndarray
         u, v, col4row, row4col = carry
 
         # --- Dijkstra from row i over columns (scipy _lsap.c structure).
-        # Statically bounded: each live iteration scans exactly one new
-        # column, so Q iterations always suffice; once the sink is found the
-        # state freezes. A data-dependent while_loop here is semantically
-        # identical, but the axon TPU runtime rejects grad programs that
-        # combine nested while_loops with scatter backward ops
-        # (INVALID_ARGUMENT at dispatch) — counted fori_loops avoid it, and
-        # make the cost deterministic.
+        # Statically bounded: each live iteration pops (scans) exactly one
+        # new column, and the search stops at the first FREE column popped.
+        # When augmenting row i only i columns are assigned, so among the
+        # first i+1 <= N popped columns at least one is free: N iterations
+        # always suffice; once the sink is found the state freezes. A
+        # data-dependent while_loop here is semantically identical, but the
+        # axon TPU runtime rejects grad programs that combine nested
+        # while_loops with scatter backward ops (INVALID_ARGUMENT at
+        # dispatch) — counted fori_loops avoid it, and make the cost
+        # deterministic (N^2 relaxations per image, N=20ish targets).
         def dij_body(_, st):
             cur, sr, sc, spc, sink, minval, path = st
             done = sink >= 0
@@ -69,7 +72,7 @@ def _solve_single(cost: jnp.ndarray, n_valid: jnp.ndarray
         spc0 = jnp.full((Q,), INF)
         path0 = jnp.full((Q,), -1, jnp.int32)
         cur, sr, sc, spc, sink, minval, path = jax.lax.fori_loop(
-            0, Q, dij_body,
+            0, N, dij_body,
             (i, sr0, sc0, spc0, jnp.int32(-1), jnp.float32(0.0), path0))
 
         # --- dual updates (exactly scipy's) ---
