@@ -102,3 +102,92 @@ def resize_nearest(x: jnp.ndarray, out_hw) -> jnp.ndarray:
     *lead, H, W, C = x.shape
     shape = (*lead, out_hw[0], out_hw[1], C)
     return jax.image.resize(x, shape, method="nearest")
+
+
+# ---------------------------------------------------------------------------
+# matmul-backward point sampling (criterion hot path)
+
+
+def _axis_weights(p: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Dense bilinear interpolation weights along one axis.
+
+    p: [..., P] continuous pixel coordinates; returns [..., P, n] with
+    w[..., j] = max(0, 1 - |p - j|) — exactly the two-tap bilinear weights
+    (rows outside [0, n) simply have no column, reproducing zero padding).
+    """
+    j = jnp.arange(n, dtype=p.dtype)
+    return jnp.maximum(jnp.asarray(0, p.dtype),
+                       1.0 - jnp.abs(p[..., None] - j))
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _psm_build(fshape, fdtype_name):
+    """custom_vjp instance specialized to a static feat shape/dtype (the
+    residual tree may only hold arrays, so shape/dtype live in this
+    closure)."""
+    B, H, W, C = fshape
+    fdtype = jnp.dtype(fdtype_name)
+
+    @jax.custom_vjp
+    def sample(feat, coords):
+        return point_sample(feat, coords, align_corners=False)
+
+    def fwd(feat, coords):
+        return sample(feat, coords), coords
+
+    def bwd(coords, cot):
+        px = (coords[..., 0] * W - 0.5).astype(jnp.float32)
+        py = (coords[..., 1] * H - 0.5).astype(jnp.float32)
+        wy = _axis_weights(py, H)  # [B, P, H]
+        wx = _axis_weights(px, W)  # [B, P, W]
+        cot = cot.astype(jnp.float32)
+        P = coords.shape[1]
+        # chunk points so the [B, chunk, W, C] workspace stays small
+        chunk = max(1, min(P, (64 << 20) // max(1, 4 * W * C)))
+        n_chunks = -(-P // chunk)
+        pad = n_chunks * chunk - P
+        if pad:
+            wy = jnp.pad(wy, ((0, 0), (0, pad), (0, 0)))
+            wx = jnp.pad(wx, ((0, 0), (0, pad), (0, 0)))
+            cot = jnp.pad(cot, ((0, 0), (0, pad), (0, 0)))
+        wy = wy.reshape(B, n_chunks, chunk, H)
+        wx = wx.reshape(B, n_chunks, chunk, W)
+        cot = cot.reshape(B, n_chunks, chunk, C)
+
+        def body(acc, args):
+            wy_c, wx_c, cot_c = args  # [B, chunk, {H,W,C}]
+            v = wx_c[..., :, None] * cot_c[..., None, :]  # [B, chunk, W, C]
+            g = jnp.einsum("bph,bpwc->bhwc", wy_c, v,
+                           preferred_element_type=jnp.float32)
+            return acc + g, ()
+
+        acc0 = jnp.zeros((B, H, W, C), jnp.float32)
+        grad, _ = jax.lax.scan(
+            body, acc0,
+            (wy.transpose(1, 0, 2, 3), wx.transpose(1, 0, 2, 3),
+             cot.transpose(1, 0, 2, 3)))
+        return grad.astype(fdtype), jnp.zeros_like(coords)
+
+    sample.defvjp(fwd, bwd)
+    return sample
+
+
+def point_sample_mmgrad(feat: jnp.ndarray, coords: jnp.ndarray
+                        ) -> jnp.ndarray:
+    """point_sample(align_corners=False) whose feature gradient is computed
+    as dense MXU matmuls instead of the gather VJP's scatter-add.
+
+    TPU scatter-add is loop-bound (~300 ns/index); the criterion's backward
+    scatters P x N x 4 taps per supervision layer (~10M adds per step, the
+    bulk of the train step). grad_feat[b,h,w,c] = sum_p wy[b,p,h] wx[b,p,w]
+    cot[b,p,c] with the dense per-axis weights of ``_axis_weights`` is the
+    same gradient computed as einsums over point chunks (~33 GFLOP, ~1 ms).
+
+    COORDS ARE TREATED AS NON-DIFFERENTIABLE (zero gradient) — every
+    criterion call site wraps coords in stop_gradient already; do NOT use
+    this variant where a coords gradient is needed.
+    """
+    return _psm_build(tuple(feat.shape), feat.dtype.name)(feat, coords)

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from scipy.optimize import linear_sum_assignment
 
 from psalm_tpu.config import LossConfig
-from psalm_tpu.ops.sampling import point_sample
+from psalm_tpu.ops.sampling import point_sample_mmgrad
 
 
 # Golden-parity tests inject a fixed point set shared with the reference
@@ -164,7 +164,7 @@ def uncertain_point_coords(rng: jax.Array, logits_fn, num_points: int,
 
 def _sample_mask_at(masks: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     """masks: [B, H, W]; coords: [B, P, 2] -> [B, P]."""
-    return point_sample(masks[..., None], coords, align_corners=False)[..., 0]
+    return point_sample_mmgrad(masks[..., None], coords)[..., 0]
 
 
 # ---------------------------------------------------------------------------
@@ -211,13 +211,11 @@ class PSALMCriterion:
         coords = self.uniform_fn(rng, (B, c.train_num_points, 2))
 
         pred_chan = jnp.transpose(pred_masks, (0, 2, 3, 1))  # [B, h, w, Q]
-        out_pts = jnp.transpose(point_sample(pred_chan, coords,
-                                             align_corners=False),
+        out_pts = jnp.transpose(point_sample_mmgrad(pred_chan, coords),
                                 (0, 2, 1))  # [B, Q, P]
         tgt_chan = jnp.transpose(targets["masks"].astype(jnp.float32),
                                  (0, 2, 3, 1))  # [B, H, W, N]
-        tgt_pts = jnp.transpose(point_sample(tgt_chan, coords,
-                                             align_corners=False),
+        tgt_pts = jnp.transpose(point_sample_mmgrad(tgt_chan, coords),
                                 (0, 2, 1))  # [B, N, P]
 
         cost_mask = jax.vmap(batch_sigmoid_ce_cost)(out_pts, tgt_pts)
@@ -266,7 +264,7 @@ class PSALMCriterion:
             pred_chan = jnp.transpose(src_masks, (0, 2, 3, 1))  # [B, h, w, N]
             tgt_chan = jnp.transpose(tgt_masks, (0, 2, 3, 1))
             probe = self.uniform_fn(k1, (B, n_sampled, 2))
-            logits0 = point_sample(pred_chan, probe)  # [B, S, N]
+            logits0 = point_sample_mmgrad(pred_chan, probe)  # [B, S, N]
             unc = jnp.max(jnp.where(valid[:, None, :], -jnp.abs(logits0),
                                     -jnp.inf), axis=-1)  # [B, S]
             _, idx = jax.lax.top_k(unc, n_unc)
@@ -275,9 +273,11 @@ class PSALMCriterion:
             coords = jax.lax.stop_gradient(
                 jnp.concatenate([top, rand], axis=1))  # [B, P, 2]
             point_logits = jnp.transpose(
-                point_sample(pred_chan, coords), (0, 2, 1)).reshape(B * N, P)
+                point_sample_mmgrad(pred_chan, coords),
+                (0, 2, 1)).reshape(B * N, P)
             point_labels = jax.lax.stop_gradient(jnp.transpose(
-                point_sample(tgt_chan, coords), (0, 2, 1))).reshape(B * N, P)
+                point_sample_mmgrad(tgt_chan, coords),
+                (0, 2, 1))).reshape(B * N, P)
             v = valid.reshape(B * N).astype(jnp.float32)
             ce = (jax.nn.softplus(point_logits)
                   - point_logits * point_labels)

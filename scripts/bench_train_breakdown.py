@@ -105,6 +105,10 @@ def main():
     criterion = PSALMCriterion(cfg.loss, cfg.mask_decoder.num_queries)
     mask = psalm_finetune_mask(variables["params"])
     trainable, frozen = partition_params(variables["params"], mask)
+    if os.environ.get("PSALM_TB_BF16", "0") == "1":
+        frozen = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, frozen)
     extra = {k: v for k, v in variables.items() if k != "params"}
     targets = {"masks": batch["gt_masks"], "labels": batch["gt_labels"],
                "valid": batch["gt_valid"]}
@@ -122,6 +126,17 @@ def main():
         fwd = jax.jit(lambda tr, fz, b: apply_model(tr, fz, b)["pred_masks"])
         results["model_fwd"] = timed(fwd, trainable, frozen, batch,
                                      label="model_fwd")
+
+    # train-vs-eval fwd delta: same params, eval-mode apply (no aux heads,
+    # no gt attention masks) — quantifies what train=True costs the forward
+    if want("model_fwd_eval"):
+        ebatch = {k: v for k, v in batch.items()
+                  if k not in ("gt_masks", "gt_labels", "gt_valid")}
+        efwd = jax.jit(lambda tr, fz, b: model.apply(
+            {"params": combine_params(tr, fz), **extra}, b, train=False,
+            use_class_names=True, num_class_names=K)["pred_masks"])
+        results["model_fwd_eval"] = timed(efwd, trainable, frozen, ebatch,
+                                          label="model_fwd_eval")
 
     # -- model forward+backward (criterion replaced by a constant-weight sum
     # over every supervised head so ALL the model's grad paths are exercised)
@@ -141,9 +156,48 @@ def main():
         results["model_fwd_bwd"] = timed(mg, trainable, frozen, batch,
                                          label="model_fwd_bwd")
 
+    # same, with a fixed random weighting: the constant-weight dummy loss
+    # gives every head a CONSTANT cotangent that XLA folds into cheap
+    # reduced backward einsums; random weights keep the backward honest
+    if want("model_fwd_bwd_rand"):
+        wrng = np.random.RandomState(7)
+
+        def rand_loss(tr, fz, batch, ws):
+            out = apply_model(tr, fz, batch)
+            layers = [out] + list(out.get("aux_outputs", []))
+            total = 0.0
+            for li, lo in enumerate(layers):
+                total += jnp.sum(lo["pred_masks"].astype(jnp.float32)
+                                 * ws[li])
+                if lo.get("pred_class_name_logits") is not None:
+                    total += jnp.mean(
+                        lo["pred_class_name_logits"].astype(jnp.float32))
+            return total * 1e-6
+
+        shapes = jax.eval_shape(apply_model, trainable, frozen, batch)
+        n_layers = 1 + len(shapes.get("aux_outputs", ()))
+        ws = [jnp.asarray(wrng.randn(B, 1, 256, 256), jnp.float32)
+              for _ in range(n_layers)]
+        mgr = jax.jit(lambda tr, fz, b, ws: jax.grad(rand_loss)(
+            tr, fz, b, ws))
+        results["model_fwd_bwd_rand"] = timed(mgr, trainable, frozen, batch,
+                                              ws, label="model_fwd_bwd_rand")
+
     # -- criterion on materialized outputs (outputs as jit ARGS) ------------
     out_ex = jax.jit(apply_model)(trainable, frozen, batch)
-    out_ex = jax.tree.map(lambda x: x, out_ex)
+    # round-trip through host: device-produced outputs can carry layouts
+    # the criterion grad program rejects on the axon runtime
+    # (INVALID_ARGUMENT at dispatch); host re-upload normalizes them.
+    # Cast float leaves to f32 (the criterion's internal compute dtype) —
+    # grad-wrt-bf16-leaf programs are another axon dispatch-failure shape.
+    out_ex = jax.tree.map(
+        lambda x: jnp.asarray(np.asarray(x).astype(np.float32))
+        if hasattr(x, "dtype") and x.dtype in (jnp.bfloat16, jnp.float16)
+        else (jnp.asarray(np.asarray(x)) if hasattr(x, "dtype") else x),
+        out_ex)
+    print("out_ex signature:", jax.tree.map(
+        lambda x: f"{tuple(x.shape)}:{x.dtype}" if hasattr(x, "dtype")
+        else type(x).__name__, out_ex), file=sys.stderr)
 
     if want("crit_fwd"):
         cf = jax.jit(lambda o, t, k: criterion(k, o, t, compute_class=True)
