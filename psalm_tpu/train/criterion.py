@@ -198,6 +198,12 @@ class PSALMCriterion:
         [B,Q,K] or None); targets: dict(masks [B,N,H,W] float {0,1},
         labels [B,N] int, valid [B,N] bool).
         """
+        cost, n_valid = self.match_cost(rng, outputs, targets)
+        return hungarian_assign(cost, n_valid)
+
+    def match_cost(self, rng, outputs, targets
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """One layer's assignment cost matrix [B, Q, N] and n_valid [B]."""
         c = self.cfg
         pred_masks = outputs["pred_masks"].astype(jnp.float32)
         B, Q = pred_masks.shape[:2]
@@ -234,7 +240,7 @@ class PSALMCriterion:
                 + c.dice_weight * cost_dice)
         cost = jnp.where(targets["valid"][:, None, :], cost, 1e8)
         n_valid = targets["valid"].sum(-1).astype(jnp.int32)
-        return hungarian_assign(cost, n_valid)
+        return cost, n_valid
 
     # -- per-loss terms ------------------------------------------------------
 
@@ -376,9 +382,28 @@ class PSALMCriterion:
         layers = [outputs] + list(outputs.get("aux_outputs", []))
         totals = {"loss_mask": 0.0, "loss_dice": 0.0, "loss_SEG_class": 0.0,
                   "loss_class_name_class": 0.0, "loss_region_class": 0.0}
-        for li, layer_out in enumerate(layers):
+        # per-layer rng draws, identical to the sequential formulation
+        keys = []
+        for _ in layers:
             rng, k_match, k_pts = jax.random.split(rng, 3)
-            src_idx, valid = self.match(k_match, layer_out, targets)
+            keys.append((k_match, k_pts))
+        # ONE batched assignment for all layers: stacking the [B, Q, N]
+        # costs into [L*B, Q, N] runs a single vmapped solver instead of L
+        # sequential fori-loop instances on the single TPU core (the costs
+        # and the per-image solutions are unchanged)
+        costs = []
+        for (k_match, _), layer_out in zip(keys, layers):
+            cost_l, n_valid = self.match_cost(k_match, layer_out, targets)
+            costs.append(cost_l)
+        L = len(layers)
+        B = costs[0].shape[0]
+        cost_all = jnp.concatenate(costs, axis=0)  # [L*B, Q, N]
+        n_valid_all = jnp.tile(n_valid, (L,))
+        src_all, valid_all = hungarian_assign(cost_all, n_valid_all)
+        for li, layer_out in enumerate(layers):
+            _, k_pts = keys[li]
+            src_idx = src_all[li * B:(li + 1) * B]
+            valid = valid_all[li * B:(li + 1) * B]
             lm, ld = self.loss_masks(k_pts, layer_out, targets, src_idx, valid,
                                      num_masks)
             totals["loss_mask"] += c.mask_weight * lm

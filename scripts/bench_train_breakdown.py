@@ -195,9 +195,17 @@ def main():
         if hasattr(x, "dtype") and x.dtype in (jnp.bfloat16, jnp.float16)
         else (jnp.asarray(np.asarray(x)) if hasattr(x, "dtype") else x),
         out_ex)
-    print("out_ex signature:", jax.tree.map(
-        lambda x: f"{tuple(x.shape)}:{x.dtype}" if hasattr(x, "dtype")
-        else type(x).__name__, out_ex), file=sys.stderr)
+    # grad only wrt the loss-relevant heads: the full apply() output also
+    # carries the lm 'logits' [B, S, 51200] and 'hidden' — zero-cotangent
+    # leaves that balloon the grad program (and INVALID_ARGUMENT the axon
+    # dispatch) without being part of the seg criterion's gradient
+    CRIT_KEYS = ("pred_masks", "pred_class_name_logits", "pred_SEG_logits",
+                 "pred_region_logits")
+    out_ex = {
+        **{k: out_ex.get(k) for k in CRIT_KEYS},
+        "aux_outputs": [{k: lo.get(k) for k in CRIT_KEYS}
+                        for lo in out_ex.get("aux_outputs", [])],
+    }
 
     if want("crit_fwd"):
         cf = jax.jit(lambda o, t, k: criterion(k, o, t, compute_class=True)
