@@ -384,6 +384,114 @@ def test_golden_criterion():
                                err_msg="loss_region_class")
 
 
+def test_golden_criterion_grad():
+    """Gradients of the weighted total loss wrt every prediction head match
+    torch autograd through the reference criterion (pretrain_criterion.py)
+    — pinned point randomness, scipy matching both sides. Exercises the
+    point_sample_mmgrad custom VJP end-to-end against torch's grid_sample
+    backward."""
+    crit_mod = load_ref(
+        "psalm.model.mask_decoder.mask_criterion.pretrain_criterion")
+    torch.manual_seed(4)
+    NUM_PTS, OVER, IMP = 16, 3.0, 0.75
+    N_SAMPLED = int(NUM_PTS * OVER)
+    N_RAND = NUM_PTS - int(IMP * NUM_PTS)
+    rng = np.random.default_rng(15)
+    bases = {NUM_PTS: rng.uniform(size=(NUM_PTS, 2)).astype(np.float32),
+             N_SAMPLED: rng.uniform(size=(N_SAMPLED, 2)).astype(np.float32),
+             N_RAND: rng.uniform(size=(N_RAND, 2)).astype(np.float32)}
+
+    real_rand = torch.rand
+
+    def fixed_rand(*shape, **kw):
+        if len(shape) == 1 and isinstance(shape[0], (tuple, list)):
+            shape = tuple(shape[0])
+        if len(shape) == 3 and shape[-1] == 2 and shape[-2] in bases:
+            t = torch.from_numpy(bases[shape[-2]])
+            return t.expand(shape[0], *t.shape).clone()
+        return real_rand(*shape, **kw)
+
+    B, Q, K, N, hw, HW = 2, 10, 5, 3, 8, 16
+    out_np = {
+        "pred_masks": rng.standard_normal((B, Q, hw, hw)).astype(np.float32),
+        "pred_SEG_logits": rng.standard_normal((B, Q, 1)).astype(np.float32),
+        "pred_class_name_logits":
+            rng.standard_normal((B, Q, K)).astype(np.float32),
+        "pred_region_logits":
+            rng.standard_normal((B, N, Q)).astype(np.float32),
+    }
+    gt_masks = (rng.uniform(size=(B, N, HW, HW)) > 0.6).astype(np.float32)
+    gt_labels = rng.integers(0, K - 1, size=(B, N))
+    W = {"loss_mask": 5.0, "loss_dice": 5.0, "loss_SEG_class": 2.0,
+         "loss_class_name_class": 2.0, "loss_region_class": 2.0}
+
+    # ---- reference, with autograd
+    matcher = crit_mod.hungarian_matcher_PSALM(
+        cost_class=2.0, cost_mask=5.0, cost_dice=5.0, num_points=NUM_PTS)
+    ref = crit_mod.PSALM_criterion(
+        matcher=matcher,
+        losses=["SEG_labels", "class_name_labels", "masks", "region_labels"],
+        num_points=NUM_PTS, oversample_ratio=OVER,
+        importance_sample_ratio=IMP, device="cpu")
+    t_leaves = {k: torch.from_numpy(v).clone().requires_grad_(True)
+                for k, v in out_np.items() if k != "pred_region_logits"}
+    t_regions = [torch.from_numpy(out_np["pred_region_logits"][b])
+                 .clone().requires_grad_(True) for b in range(B)]
+    t_outputs = dict(t_leaves)
+    t_outputs["pred_region_logits"] = list(t_regions)
+    t_targets = [{"labels": torch.from_numpy(gt_labels[b]),
+                  "masks": torch.from_numpy(gt_masks[b])} for b in range(B)]
+    torch.rand = fixed_rand
+    try:
+        t_losses = ref(t_outputs, t_targets)
+    finally:
+        torch.rand = real_rand
+    total = sum(W[k] * t_losses[k] for k in W)
+    total.backward()
+
+    # ---- ours
+    from psalm_tpu.train.criterion import PSALMCriterion, set_assign_impl
+
+    def fixed_uniform(key, shape, *a, **k):
+        assert shape[-1] == 2 and shape[-2] in bases, shape
+        return jnp.broadcast_to(jnp.asarray(bases[shape[-2]]), shape)
+
+    cfg = LossConfig(train_num_points=NUM_PTS, oversample_ratio=OVER,
+                     importance_sample_ratio=IMP)
+    crit = PSALMCriterion(cfg, Q, per_mask_uncertainty=True,
+                          uniform_fn=fixed_uniform)
+    j_targets = {"masks": jnp.asarray(gt_masks),
+                 "labels": jnp.asarray(gt_labels),
+                 "valid": jnp.ones((B, N), bool)}
+    set_assign_impl("scipy")
+
+    def loss_total(o):
+        losses = crit(jax.random.PRNGKey(0), o, j_targets,
+                      compute_seg=True, compute_class=True,
+                      compute_region=True)
+        return losses["loss_total"]
+
+    j_outputs = {k: jnp.asarray(v) for k, v in out_np.items()}
+    j_grads = jax.grad(loss_total)({k: jnp.asarray(v)
+                                    for k, v in out_np.items()})
+
+    np.testing.assert_allclose(
+        np.asarray(j_grads["pred_masks"]), t_leaves["pred_masks"].grad.numpy(),
+        rtol=1e-4, atol=1e-6, err_msg="grad pred_masks")
+    np.testing.assert_allclose(
+        np.asarray(j_grads["pred_class_name_logits"]),
+        t_leaves["pred_class_name_logits"].grad.numpy(),
+        rtol=1e-4, atol=1e-6, err_msg="grad class_name")
+    np.testing.assert_allclose(
+        np.asarray(j_grads["pred_SEG_logits"]),
+        t_leaves["pred_SEG_logits"].grad.numpy(),
+        rtol=1e-4, atol=1e-6, err_msg="grad SEG")
+    ref_region = np.stack([t.grad.numpy() for t in t_regions])
+    np.testing.assert_allclose(
+        np.asarray(j_grads["pred_region_logits"]), ref_region,
+        rtol=1e-4, atol=1e-6, err_msg="grad region")
+
+
 # ---------------------------------------------------------------------------
 # 7. Full spine on a tiny config: reference PSALM.forward (panoptic batch,
 #    train losses) vs our PSALM.apply + criterion on the converted checkpoint.
