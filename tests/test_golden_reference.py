@@ -73,6 +73,46 @@ def test_golden_msdeform_oracle():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_golden_msdeform_grad():
+    """Gradients wrt value / sampling locations / attention weights match
+    torch autograd through the reference's pure-pytorch MSDeformAttn (the
+    CPU fallback the released checkpoint is evaluated with)."""
+    ref = load_ref("psalm.model.mask_decoder.Mask2Former_Simplify.modeling"
+                   ".pixel_decoder.ops.functions.ms_deform_attn_func")
+    rng = np.random.default_rng(3)
+    B, M, D = 1, 2, 4
+    shapes = [(6, 9), (4, 5), (2, 3)]
+    S = sum(h * w for h, w in shapes)
+    Q, L, P = 11, len(shapes), 4
+    value = rng.standard_normal((B, S, M, D)).astype(np.float32)
+    loc = rng.uniform(-0.1, 1.1, size=(B, Q, M, L, P, 2)).astype(np.float32)
+    attn = rng.uniform(size=(B, Q, M, L, P)).astype(np.float32)
+    attn /= attn.sum((-1, -2), keepdims=True)
+    w = rng.standard_normal((B, Q, M * D)).astype(np.float32)
+
+    tv = torch.from_numpy(value).clone().requires_grad_(True)
+    tl = torch.from_numpy(loc).clone().requires_grad_(True)
+    ta = torch.from_numpy(attn).clone().requires_grad_(True)
+    t_out = ref.ms_deform_attn_core_pytorch(
+        tv, torch.tensor(shapes), tl, ta)
+    (t_out * torch.from_numpy(w)).sum().backward()
+
+    from psalm_tpu.ops.msdeform import ms_deform_attn_xla
+
+    def loss(v, l, a):
+        out = ms_deform_attn_xla(v, shapes, l, a)
+        return jnp.sum(out * jnp.asarray(w))
+
+    gv, gl, ga = jax.grad(loss, argnums=(0, 1, 2))(
+        jnp.asarray(value), jnp.asarray(loc), jnp.asarray(attn))
+    np.testing.assert_allclose(np.asarray(gv), _np(tv.grad),
+                               rtol=1e-4, atol=1e-5, err_msg="grad value")
+    np.testing.assert_allclose(np.asarray(ga), _np(ta.grad),
+                               rtol=1e-4, atol=1e-5, err_msg="grad attn")
+    np.testing.assert_allclose(np.asarray(gl), _np(tl.grad),
+                               rtol=1e-4, atol=1e-4, err_msg="grad loc")
+
+
 # ---------------------------------------------------------------------------
 # 2. Projector (real Swin-B dims: the reference hard-codes planes=2048)
 
