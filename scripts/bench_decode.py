@@ -12,6 +12,7 @@ Run on TPU:
   PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_decode.py
 """
 import json
+import os
 import sys
 import time
 
@@ -28,6 +29,11 @@ from psalm_tpu.models.psalm import PSALM
 
 MAX_LEN = 2048
 NEW_TOKENS = 128
+# PSALM_DECODE_BATCH=N: N concurrent sequences per decode dispatch — the
+# weight reads amortize across the batch, so aggregate tok/s scales until
+# the matvecs turn compute-bound (static request batching; the worker can
+# group waiting requests the same way)
+BATCH = int(os.environ.get("PSALM_DECODE_BATCH", "1"))
 
 
 def make_variables(cfg, model, rng=0):
@@ -49,6 +55,8 @@ def gen_batch(cfg):
     batch = {k: np.asarray(v)[None] for k, v in sp.as_dict().items()}
     rng = np.random.default_rng(0)
     batch["images"] = rng.standard_normal((1, s, s, 3)).astype(np.float32)
+    if BATCH > 1:
+        batch = {k: np.repeat(v, BATCH, axis=0) for k, v in batch.items()}
     return batch
 
 
@@ -92,7 +100,7 @@ def bench_variant(name, quant_bits, cast_bf16, chunks=(16, 32, 64, 128)):
         toks = gen.generate(batch, max_new_tokens=NEW_TOKENS,
                             chunk_size=chunk)
         dt = time.perf_counter() - t0
-        tps = toks.shape[1] / dt
+        tps = toks.shape[0] * toks.shape[1] / dt  # aggregate over batch
         # steady-state decode rate: difference method (full vs half-length
         # request at the same chunk size) cancels prefill and per-request
         # fixed costs; per-chunk dispatch overheads stay in, proportionally
@@ -100,7 +108,8 @@ def bench_variant(name, quant_bits, cast_bf16, chunks=(16, 32, 64, 128)):
         t0 = time.perf_counter()
         gen.generate(batch, max_new_tokens=half, chunk_size=chunk)
         dt_short = time.perf_counter() - t0
-        steady = (NEW_TOKENS - half) / max(dt - dt_short, 1e-9)
+        steady = (toks.shape[0] * (NEW_TOKENS - half)
+                  / max(dt - dt_short, 1e-9))
         out[chunk] = {"request": round(tps, 1), "decode": round(steady, 1)}
         print(f"[{name}] chunk={chunk}: {tps:.1f} tok/s request, "
               f"{steady:.1f} tok/s steady-state decode "

@@ -84,3 +84,55 @@ def test_generation_multimodal_prefix():
     # greedy decode is deterministic
     toks2 = gen.generate(batch, max_new_tokens=4)
     np.testing.assert_array_equal(toks, toks2)
+
+
+def test_generation_batched_eos_handling():
+    """B=2 decode with an EOS that fires at different steps per sequence:
+    tokens after a sequence's EOS are replaced by eos_id, the other
+    sequence keeps decoding, and streaming sees every token column."""
+    from psalm_tpu.config import tiny_test_config
+    from psalm_tpu.models.psalm import PSALM
+    from psalm_tpu.models.generation import Generator
+    import __graft_entry__ as ge
+
+    cfg = tiny_test_config()
+    model = PSALM(cfg)
+    K = 3
+    batch = ge._panoptic_batch(cfg, B=2, num_classes=K)
+    variables = jax.jit(lambda r, b: model.init(r, b, use_class_names=True,
+                                                num_class_names=K))(
+        jax.random.PRNGKey(0), batch)
+    gen = Generator(model, variables, max_len=batch["tok_ids"].shape[1] + 16,
+                    cache_dtype=jnp.float32)
+
+    free = gen.generate(batch, max_new_tokens=6, chunk_size=2)
+    # pick an eos that sequence 0 emits strictly before sequence 1 (or that
+    # sequence 1 never emits) so the two sequences finish at different steps
+    eos_id = None
+    for j in range(6):
+        tok0 = int(free[0, j])
+        later1 = [int(t) for t in free[1, : j + 1]]
+        if tok0 not in later1:
+            eos_id = tok0
+            break
+    if eos_id is None:  # both sequences emit identical streams: still
+        eos_id = int(free[0, 0])  # exercises simultaneous EOS
+
+    seen = []
+    toks = gen.generate(batch, max_new_tokens=6, eos_id=eos_id,
+                        stream=lambda t: seen.append(np.array(t)),
+                        chunk_size=2)
+    B, T = toks.shape
+    assert B == 2 and T <= 6
+    assert len(seen) == T  # stream got every emitted column
+    for b in range(B):
+        row = toks[b]
+        hit = np.where(row == eos_id)[0]
+        if hit.size:  # everything after the first EOS is eos_id padding
+            assert (row[hit[0]:] == eos_id).all()
+    # pre-EOS tokens match the unconstrained run (EOS only truncates)
+    for b in range(B):
+        row = toks[b]
+        hit = np.where(row == eos_id)[0]
+        upto = hit[0] if hit.size else T
+        np.testing.assert_array_equal(row[:upto], free[b, :upto])
