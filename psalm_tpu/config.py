@@ -84,6 +84,9 @@ class PhiConfig:
     # 0 = full precision; 8 = weight-only int8 linears (bnb load_in_8bit
     # analog, models/quant.py) — inference + QLoRA-style LoRA finetune
     quant_bits: int = 0
+    # int4 weight storage: "packed" (int8 nibble pairs) or "native"
+    # (jnp.int4 arrays — XLA owns packing + unpack-in-dot)
+    quant_storage: str = "packed"
 
     @property
     def head_dim(self) -> int:

@@ -41,7 +41,8 @@ def _dense(cfg: PhiConfig, features, dtype, name):
         return QuantDense(features, dtype=dtype, name=name)
     if qb == 4:
         from psalm_tpu.models.quant import Quant4Dense
-        return Quant4Dense(features, dtype=dtype, name=name)
+        return Quant4Dense(features, dtype=dtype, name=name,
+                           storage=getattr(cfg, "quant_storage", "packed"))
     import flax.linen as _nn
     return _nn.Dense(features, dtype=dtype, name=name)
 

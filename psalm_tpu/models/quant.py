@@ -90,6 +90,11 @@ class Quant4Dense(nn.Module):
     use_bias: bool = True
     dtype: Any = jnp.float32
     group: int = 64
+    # "packed": int8 bytes holding two nibbles (default, portable);
+    # "native": a jnp.int4 [in, out] array — XLA owns the 2-per-byte HBM
+    # packing AND the unpack-in-convert, which fuses into the dot's operand
+    # load (the manual shifts don't). Same quantized values either way.
+    storage: str = "packed"
 
     @nn.compact
     def __call__(self, x):
@@ -100,6 +105,22 @@ class Quant4Dense(nn.Module):
         group = math.gcd(half, self.group)
         G = in_f // group
         assert in_f % 2 == 0, in_f
+        if self.storage == "native":
+            kq = self.param("kernel_q4n", nn.initializers.zeros,
+                            (in_f, self.features), jnp.int4)
+            scale = self.param("scale", nn.initializers.ones,
+                               (G, self.features), jnp.float32)
+            lead = x.shape[:-1]
+            xg = x.reshape(*lead, G, group)
+            kg = kq.reshape(G, group, self.features).astype(self.dtype)
+            part = jnp.einsum("...gd,gdo->...go", xg, kg)
+            y = jnp.einsum("...go,go->...o", part, scale.astype(part.dtype))
+            y = y.astype(self.dtype)
+            if self.use_bias:
+                bias = self.param("bias", nn.initializers.zeros,
+                                  (self.features,), jnp.float32)
+                y = y + bias.astype(self.dtype)
+            return y
         kq = self.param("kernel_q4", nn.initializers.zeros,
                         (half, self.features), jnp.int8)
         scale = self.param("scale", nn.initializers.ones,
@@ -145,9 +166,24 @@ def quantize_kernel_int4(kernel: np.ndarray, group: int = 64):
     return packed, scale
 
 
+def quantize_kernel_int4_native(kernel: np.ndarray, group: int = 64):
+    """[in, out] float -> (jnp.int4 [in, out], f32 scale [in/group, out]).
+    Same group quantization as quantize_kernel_int4, XLA-native storage."""
+    k = np.asarray(kernel, np.float32)
+    in_f, out_f = k.shape
+    group = math.gcd(in_f // 2, group)
+    kg = k.reshape(in_f // group, group, out_f)
+    amax = np.abs(kg).max(axis=1)
+    scale = np.where(amax > 0, amax / 7.0, 1.0).astype(np.float32)
+    q = np.clip(np.round(kg / scale[:, None, :]), -7, 7).astype(np.int8)
+    return jnp.asarray(q.reshape(in_f, out_f), jnp.int4), scale
+
+
 def quantize_phi_int4(variables: Dict, layer_names: Sequence[str]
-                      = QUANT_LAYER_NAMES, group: int = 64) -> Dict:
-    """Convert the loaded tree's phi linear kernels to packed int4 leaves."""
+                      = QUANT_LAYER_NAMES, group: int = 64,
+                      storage: str = "packed") -> Dict:
+    """Convert the loaded tree's phi linear kernels to int4 leaves
+    ("packed" int8 nibble pairs or "native" jnp.int4 arrays)."""
 
     def walk(node, path):
         if not isinstance(node, dict):
@@ -158,10 +194,15 @@ def quantize_phi_int4(variables: Dict, layer_names: Sequence[str]
             if (isinstance(v, dict) and "kernel" in v
                     and any(n in p for n in layer_names)
                     and getattr(v["kernel"], "ndim", 0) == 2):
-                packed, scale = quantize_kernel_int4(
-                    np.asarray(v["kernel"]), group)
                 new_v = {kk: vv for kk, vv in v.items() if kk != "kernel"}
-                new_v["kernel_q4"] = jnp.asarray(packed)
+                if storage == "native":
+                    q4, scale = quantize_kernel_int4_native(
+                        np.asarray(v["kernel"]), group)
+                    new_v["kernel_q4n"] = q4
+                else:
+                    packed, scale = quantize_kernel_int4(
+                        np.asarray(v["kernel"]), group)
+                    new_v["kernel_q4"] = jnp.asarray(packed)
                 new_v["scale"] = jnp.asarray(scale)
                 out[k] = {kk: walk(vv, p + (kk,)) if isinstance(vv, dict)
                           else vv for kk, vv in new_v.items()}

@@ -60,12 +60,13 @@ def gen_batch(cfg):
     return batch
 
 
-def bench_variant(name, quant_bits, cast_bf16, chunks=(16, 32, 64, 128)):
+def bench_variant(name, quant_bits, cast_bf16, chunks=(16, 32, 64, 128),
+                  storage="packed"):
     import dataclasses
     cfg = PSALMConfig(compute_dtype="bfloat16")
     if quant_bits:
-        cfg = cfg.replace(phi=dataclasses.replace(cfg.phi,
-                                                  quant_bits=quant_bits))
+        cfg = cfg.replace(phi=dataclasses.replace(
+            cfg.phi, quant_bits=quant_bits, quant_storage=storage))
     model = PSALM(cfg, dtype=jnp.bfloat16)
     # float init (quant_bits=0) for weight minting, then quantize/cast
     model_f = PSALM(cfg.replace(phi=dataclasses.replace(cfg.phi,
@@ -80,7 +81,7 @@ def bench_variant(name, quant_bits, cast_bf16, chunks=(16, 32, 64, 128)):
     if quant_bits == 4:
         from psalm_tpu.models.quant import quantize_phi_int4
         variables = jax.device_put(quantize_phi_int4(
-            jax.tree.map(np.asarray, variables)))
+            jax.tree.map(np.asarray, variables), storage=storage))
     if cast_bf16:
         def cast(x):
             return (x.astype(jnp.bfloat16)
@@ -129,6 +130,9 @@ def main():
             results["int8"] = bench_variant("int8", 8, True)
         elif v == "int4":
             results["int4"] = bench_variant("int4", 4, True)
+        elif v == "int4n":
+            results["int4n"] = bench_variant("int4n", 4, True,
+                                             storage="native")
     print(json.dumps(results))
 
 

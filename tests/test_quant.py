@@ -100,3 +100,49 @@ def test_builder_load_8bit(tmp_path):
     assert q["kernel_q"].dtype == jnp.int8
     # embeddings and lm_head stay full precision
     assert variables["params"]["phi"]["lm_head"]["kernel"].dtype != jnp.int8
+
+
+def test_int4_native_storage_matches_packed():
+    """Quant4Dense(storage='native') computes the same outputs as the
+    packed-nibble path: identical quantized values + group scales, only
+    the storage format differs (jnp.int4 vs int8 nibble pairs)."""
+    from psalm_tpu.models.quant import (Quant4Dense, quantize_kernel_int4,
+                                        quantize_kernel_int4_native)
+    rng = np.random.RandomState(0)
+    in_f, out_f, group = 128, 96, 32
+    k = rng.randn(in_f, out_f).astype(np.float32) * 0.05
+    bias = rng.randn(out_f).astype(np.float32) * 0.01
+    x = jnp.asarray(rng.randn(3, in_f), jnp.float32)
+
+    packed, scale_p = quantize_kernel_int4(k, group)
+    q4n, scale_n = quantize_kernel_int4_native(k, group)
+    np.testing.assert_array_equal(scale_p, scale_n)
+
+    dp = Quant4Dense(out_f, group=group)
+    dn = Quant4Dense(out_f, group=group, storage="native")
+    yp = dp.apply({"params": {"kernel_q4": jnp.asarray(packed),
+                              "scale": jnp.asarray(scale_p),
+                              "bias": jnp.asarray(bias)}}, x)
+    yn = dn.apply({"params": {"kernel_q4n": q4n,
+                              "scale": jnp.asarray(scale_n),
+                              "bias": jnp.asarray(bias)}}, x)
+    np.testing.assert_allclose(np.asarray(yp), np.asarray(yn),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_quantize_phi_int4_native_tree():
+    from psalm_tpu.models.quant import quantize_phi_int4
+    cfg, model, x, mask = _phi_setup()
+    variables = model.init(jax.random.PRNGKey(0), inputs_embeds=x,
+                           attention_mask=mask)
+    qv = quantize_phi_int4(
+        {"params": {"phi": jax.tree.map(np.asarray, variables)["params"]}},
+        storage="native")
+    leaves = jax.tree.leaves(qv)
+    assert any(getattr(l, "dtype", None) == jnp.int4 for l in leaves)
+    # the native-storage model consumes the converted tree
+    qcfg = dataclasses.replace(cfg, quant_bits=4, quant_storage="native")
+    qmodel = PhiModel(qcfg)
+    y = qmodel.apply({"params": qv["params"]["phi"]}, inputs_embeds=x,
+                     attention_mask=mask)[0]
+    assert np.isfinite(np.asarray(y, np.float32)).all()
