@@ -29,7 +29,7 @@ from psalm_tpu.data.tokenization import tokenize_special
 class ModelWorker:
     def __init__(self, controller_addr, worker_addr, model_path, model_name,
                  limit_concurrency=5, image_size=1024, load_8bit=False,
-                 decode_chunk=32):
+                 load_4bit=False, decode_chunk=32):
         self.controller_addr = controller_addr
         self.worker_addr = worker_addr
         self.worker_id = str(uuid.uuid4())[:6]
@@ -45,7 +45,7 @@ class ModelWorker:
         # path: tok/s is HBM-bandwidth-bound on the weight reads
         self.tokenizer, self.model, self.variables, self.context_len = \
             load_pretrained_model(model_path, dtype=jnp.bfloat16,
-                                  load_8bit=load_8bit)
+                                  load_8bit=load_8bit, load_4bit=load_4bit)
         self.decode_chunk = decode_chunk
         self.generator = Generator(self.model, self.variables,
                                    max_len=self.context_len)
@@ -230,6 +230,11 @@ def main():
     p.add_argument("--load-8bit", action="store_true",
                    help="weight-only int8 Phi linears (bnb load_in_8bit "
                         "analog) — halves decode weight traffic")
+    p.add_argument("--load-4bit", action="store_true",
+                   help="packed int4 group-quantized Phi linears (bnb "
+                        "load_in_4bit analog) — quarter-size weights; set "
+                        "quant_storage='native' in the config for jnp.int4 "
+                        "storage")
     p.add_argument("--decode-chunk", type=int, default=32,
                    help="tokens per device dispatch in streaming decode")
     args = p.parse_args()
@@ -237,6 +242,7 @@ def main():
                          args.model_path, args.model_name,
                          args.limit_model_concurrency,
                          load_8bit=args.load_8bit,
+                         load_4bit=args.load_4bit,
                          decode_chunk=args.decode_chunk)
     server = ThreadingHTTPServer((args.host, args.port), make_handler(worker))
     print(f"worker listening on {args.host}:{args.port}")
