@@ -1499,3 +1499,170 @@ def test_golden_eval_seg_semantic_nonsquare(ref_psalm, content, orig):
     assert out["sem_seg"][0].shape == (H, W)
     np.testing.assert_array_equal(
         out["sem_seg"][0], _np(t_res["sem_seg"].argmax(0)))
+
+
+# ---------------------------------------------------------------------------
+# 8. Full-spine PARAMETER GRADIENTS: backward through the reference
+#    PSALM.forward's seg losses vs jax.grad through our converted variables,
+#    compared leaf-by-leaf via the same checkpoint converter (gradients
+#    transform exactly like the weights they belong to).
+
+
+def test_golden_full_spine_param_grads(ref_psalm):
+    llava, ref0, our_cfg, _unused_variables = ref_psalm
+    from psalm_tpu.data.constants import (CLS_TOKEN_INDEX, IMAGE_TOKEN_INDEX,
+                                          SEG_TOKEN_INDEX)
+    from psalm_tpu.checkpoint.convert import convert_psalm_checkpoint
+    import copy
+
+    # The converted init has the reference's ZERO offset kernel + integer
+    # grid bias: every deformable sampling location then sits exactly on a
+    # bilinear-kernel kink where torch and XLA legitimately choose
+    # different subgradients. Perturb the offsets layer (identically on
+    # both sides) to break the ties; the gradients are then well-defined
+    # and must agree.
+    ref = copy.deepcopy(ref0)
+    prng = np.random.default_rng(99)
+    with torch.no_grad():
+        for n, p_ in ref.named_parameters():
+            if "sampling_offsets" in n:
+                p_.add_(torch.from_numpy(
+                    prng.standard_normal(tuple(p_.shape))
+                    .astype(np.float32)) * 0.03)
+    our_variables = jax.tree.map(
+        jnp.asarray, convert_psalm_checkpoint(ref.state_dict(), our_cfg))
+
+    B, K, N, Q = 1, 3, 3, 10
+    rng = np.random.default_rng(21)
+    ids = [11, 12, IMAGE_TOKEN_INDEX, 13,
+           CLS_TOKEN_INDEX, CLS_TOKEN_INDEX, CLS_TOKEN_INDEX,
+           14, SEG_TOKEN_INDEX, 15, 16]
+    labels = [-100] * (len(ids) - 2) + [15, 16]
+    class_name_ids = np.array([21, 22, 23, 24, 25, 26], np.int64)
+    cls_indices = np.array([0, 0, 1, 2, 2, 2], np.int64)
+    random_idx = np.array([[2, 0, 1]], np.int64)
+    images = rng.standard_normal((B, 3, 64, 64)).astype(np.float32)
+    gt_masks = (rng.uniform(size=(B, N, 64, 64)) > 0.6).astype(np.float32)
+    gt_labels = rng.integers(0, K - 1, size=(B, N))
+
+    NUM_PTS, N_SAMPLED, N_RAND = 16, 48, 4
+    bases = {NUM_PTS: rng.uniform(size=(NUM_PTS, 2)).astype(np.float32),
+             N_SAMPLED: rng.uniform(size=(N_SAMPLED, 2)).astype(np.float32),
+             N_RAND: rng.uniform(size=(N_RAND, 2)).astype(np.float32)}
+    real_rand = torch.rand
+
+    def fixed_rand(*shape, **kw):
+        if len(shape) == 1 and isinstance(shape[0], (tuple, list)):
+            shape = tuple(shape[0])
+        if len(shape) == 3 and shape[-1] == 2 and shape[-2] in bases:
+            t = torch.from_numpy(bases[shape[-2]])
+            return t.expand(shape[0], *t.shape).clone()
+        return real_rand(*shape, **kw)
+
+    import detectron2.structures as d2s
+    seg_info = []
+    for b in range(B):
+        inst = d2s.Instances((64, 64))
+        inst.gt_masks = torch.from_numpy(gt_masks[b])
+        inst.gt_classes = torch.from_numpy(gt_labels[b])
+        seg_info.append({"instances": inst})
+
+    ref.zero_grad(set_to_none=True)
+    t_input_ids = torch.tensor([ids] * B)
+    torch.rand = fixed_rand
+    try:
+        t_out = ref(
+            input_ids=t_input_ids,
+            attention_mask=torch.ones_like(t_input_ids, dtype=torch.bool),
+            labels=torch.tensor([labels] * B),
+            images=torch.from_numpy(images),
+            seg_info=seg_info,
+            class_name_ids=torch.from_numpy(np.tile(class_name_ids, (B, 1))),
+            class_name_embedding_indices=(
+                t_input_ids == CLS_TOKEN_INDEX).long(),
+            cls_indices=torch.from_numpy(np.tile(cls_indices, (B, 1))),
+            random_idx=torch.from_numpy(random_idx),
+            dataset_type=["panoptic"] * B)
+        # the reference detaches the per-component outputs; its total
+        # `loss` for a seg batch is exactly the weighted mask+dice+class sum
+        t_out.loss.backward()
+    finally:
+        torch.rand = real_rand
+
+    sd0 = ref.state_dict()
+    grads = {n: p.grad for n, p in ref.named_parameters()}
+    grad_sd = {k: (grads[k] if grads.get(k) is not None
+                   else torch.zeros_like(v))
+               for k, v in sd0.items()}
+    ref_grad_tree = convert_psalm_checkpoint(grad_sd, our_cfg)["params"]
+
+    # ---- ours
+    from psalm_tpu.data.splicer import splice
+    from psalm_tpu.models.psalm import PSALM
+    from psalm_tpu.train.criterion import PSALMCriterion, set_assign_impl
+
+    s = splice(ids, labels, num_image_tokens=1, num_seg_queries=Q,
+               pad_len=256, class_name_ids=class_name_ids,
+               cls_indices=cls_indices)
+    length = s.length
+    batch = {k: jnp.asarray(v[:length][None].repeat(B, axis=0))
+             for k, v in s.as_dict().items()}
+    batch["images"] = jnp.asarray(images.transpose(0, 2, 3, 1))
+    batch["random_idx"] = jnp.asarray(random_idx)
+
+    def fixed_uniform(key, shape, *a, **k):
+        assert shape[-1] == 2 and shape[-2] in bases, shape
+        return jnp.broadcast_to(jnp.asarray(bases[shape[-2]]), shape)
+
+    # unclamped patch-gather parity mode: the window formulation's
+    # location-gradients are exact only inside the clamp radius, and the
+    # tiny 4x4-16x16 feature levels put sampling points at the borders
+    import dataclasses as _dc
+    grad_cfg = our_cfg.replace(pixel_decoder=_dc.replace(
+        our_cfg.pixel_decoder, attention_mode="deformable"))
+    model = PSALM(grad_cfg)
+    crit = PSALMCriterion(grad_cfg.loss, Q, per_mask_uncertainty=True,
+                          uniform_fn=fixed_uniform)
+    targets = {"masks": jnp.asarray(gt_masks),
+               "labels": jnp.asarray(gt_labels),
+               "valid": jnp.ones((B, N), bool)}
+    set_assign_impl("scipy")
+    rest = {k: v for k, v in our_variables.items() if k != "params"}
+
+    def loss_fn(params):
+        out = model.apply({"params": params, **rest}, batch,
+                          use_class_names=True, num_class_names=K)
+        losses = crit(jax.random.PRNGKey(0), out, targets,
+                      compute_seg=False, compute_class=True,
+                      compute_region=False)
+        # our components carry the loss weights inline exactly like the
+        # reference's returned loss_mask/dice/class_name (spine golden)
+        return (losses["loss_mask"] + losses["loss_dice"]
+                + losses["loss_class_name_class"])
+
+    j_grads = jax.grad(loss_fn)(our_variables["params"])
+
+    flat_ref = {jax.tree_util.keystr(kp): v for kp, v in
+                jax.tree_util.tree_flatten_with_path(ref_grad_tree)[0]}
+    flat_ours = {jax.tree_util.keystr(kp): v for kp, v in
+                 jax.tree_util.tree_flatten_with_path(j_grads)[0]}
+    assert set(flat_ref) == set(flat_ours)
+
+    # global gradient scale: leaves whose grads are float dust on BOTH
+    # sides (torch accumulates exact zeros where jax accumulates ~1e-8
+    # rounding) are equal-zero, not 100%-relative-error
+    gmax = max(float(np.abs(np.asarray(v, np.float32)).max())
+               for v in flat_ref.values())
+    bad = []
+    for k in sorted(flat_ref):
+        a = np.asarray(flat_ours[k], np.float32)
+        b = np.asarray(flat_ref[k], np.float32)
+        scale = max(np.abs(b).max(), np.abs(a).max(), 1e-5 * gmax, 1e-6)
+        if max(np.abs(a).max(), np.abs(b).max()) < 1e-5 * gmax:
+            continue
+        err = np.abs(a - b).max() / scale
+        if err > 2e-2:
+            bad.append((k, float(err), float(np.abs(a).max()),
+                        float(np.abs(b).max())))
+    assert not bad, f"{len(bad)} leaves exceed 2e-2 floored-relative: " \
+                    f"{bad[:10]}"
