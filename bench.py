@@ -148,10 +148,32 @@ def measure_torch_baseline(seq_len: int = 1350) -> float:
     return iters / dt
 
 
+def _wait_for_backend(max_wait_s: int = 1200):
+    """The tunneled axon service can take many minutes to recover after a
+    client was killed mid-compile (backend init then fails UNAVAILABLE).
+    Probe with a tiny matmul and wait instead of failing the bench run."""
+    import jax
+    import jax.numpy as jnp
+    deadline = time.time() + max_wait_s
+    delay = 30
+    while True:
+        try:
+            x = jnp.ones((8, 8))
+            (x @ x).block_until_ready()
+            return
+        except Exception as e:  # noqa: BLE001 — backend not up yet
+            if time.time() > deadline:
+                raise
+            print(f"backend unavailable ({type(e).__name__}); retrying in "
+                  f"{delay}s", file=sys.stderr)
+            time.sleep(delay)
+
+
 def main():
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/psalm_tpu_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    _wait_for_backend()
 
     cache_path = os.path.join(os.path.dirname(__file__), ".bench_baseline.json")
     if os.path.exists(cache_path):
