@@ -74,3 +74,24 @@ def test_lap_100x100_scale():
     assert len(set(picked.tolist())) == n
     np.testing.assert_allclose(cost[0, picked, np.arange(n)].sum(),
                                _scipy_total(cost[0], n), rtol=1e-6)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_lap_full_square_boundary(seed):
+    """N = Q = 100, every row valid: the tightest case for the counted
+    Dijkstra bound (at row i the search may pop all i assigned columns
+    before the single free one)."""
+    rng = np.random.default_rng(100 + seed)
+    B, Q = 2, 100
+    N = Q
+    cost = rng.standard_normal((B, Q, N)).astype(np.float32) * 3.0
+    n_valid = np.array([N, N], np.int32)
+    src, valid = jax.jit(lap_assign)(jnp.asarray(cost), jnp.asarray(n_valid))
+    src = np.asarray(src)
+    assert np.asarray(valid).all()
+    for b in range(B):
+        # a permutation (each target gets a distinct query)
+        assert len(set(src[b].tolist())) == N
+        total = cost[b][src[b], np.arange(N)].sum()
+        np.testing.assert_allclose(total, _scipy_total(cost[b].T, N),
+                                   rtol=1e-5)
