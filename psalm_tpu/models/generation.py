@@ -54,9 +54,11 @@ class Generator:
             return logits[:, 0], caches
 
         def sample(logits, temperature, key):
+            # temperature: [B] (a scalar is broadcast by generate()) — per-
+            # sequence temperatures let the batching layer mix requests
             greedy = jnp.argmax(logits, -1)
             t = jnp.maximum(temperature, 1e-6)
-            drawn = jax.random.categorical(key, logits / t, axis=-1)
+            drawn = jax.random.categorical(key, logits / t[:, None], axis=-1)
             return jnp.where(temperature > 0, drawn, greedy)
 
         def decode_chunk(variables, logits, pos, caches, rng, temperature,
@@ -113,7 +115,9 @@ class Generator:
                            "images")}
         logits, caches, pos = self._prefill(self.variables, jbatch, caches)
         rng = rng if rng is not None else jax.random.PRNGKey(0)
-        temp = jnp.float32(temperature)
+        # scalar temperature broadcasts to [B]; an array gives each
+        # sequence its own temperature (0 = greedy for that row)
+        temp = jnp.broadcast_to(jnp.asarray(temperature, jnp.float32), (B,))
 
         tokens: List[np.ndarray] = []
         done = np.zeros(B, bool)

@@ -29,7 +29,8 @@ from psalm_tpu.data.tokenization import tokenize_special
 class ModelWorker:
     def __init__(self, controller_addr, worker_addr, model_path, model_name,
                  limit_concurrency=5, image_size=1024, load_8bit=False,
-                 load_4bit=False, decode_chunk=32):
+                 load_4bit=False, decode_chunk=32, max_batch=4,
+                 batch_window_ms=20.0):
         self.controller_addr = controller_addr
         self.worker_addr = worker_addr
         self.worker_id = str(uuid.uuid4())[:6]
@@ -49,6 +50,15 @@ class ModelWorker:
         self.decode_chunk = decode_chunk
         self.generator = Generator(self.model, self.variables,
                                    max_len=self.context_len)
+        # static request batching: concurrent chat requests sharing a
+        # padded-prompt bucket decode as ONE batch (the HBM-bound weight
+        # reads amortize across the batch); serve/batching.py
+        from psalm_tpu.serve.batching import BatchedGenerator
+        self.batched = BatchedGenerator(
+            self.generator,
+            eos_id=getattr(self.tokenizer, "eos_token_id", None),
+            max_batch=max_batch, window_s=batch_window_ms / 1000.0,
+            chunk_size=decode_chunk)
         self.mapper = ImageMapper(image_size)
         self.num_image_tokens = (image_size // 64) ** 2
 
@@ -143,30 +153,24 @@ class ModelWorker:
         else:
             image_arr = np.zeros((1, self.mapper.image_size,
                                   self.mapper.image_size, 3), np.float32)
+        # bucket the padded length: every distinct pad_len is a separate
+        # prefill compile AND a separate batching group — rounding up to 64
+        # lets unrelated prompts share both
+        raw_len = len(input_ids) + self.num_image_tokens + 8
+        pad_len = -(-raw_len // 64) * 64
         s = splice(input_ids, None, num_image_tokens=self.num_image_tokens,
-                   num_seg_queries=1,
-                   pad_len=len(input_ids) + self.num_image_tokens + 8)
+                   num_seg_queries=1, pad_len=pad_len)
         batch = stack_samples([s])
         batch["images"] = image_arr
-
-        text = ""
-        eos = getattr(self.tokenizer, "eos_token_id", None)
-
-        def stream_cb(tok_np):
-            nonlocal text
-            piece = self.tokenizer.decode(tok_np.tolist())
-            text += piece
 
         with self.semaphore:
             self.queue_length += 1
             try:
-                toks = self.generator.generate(
-                    batch, max_new_tokens=max_new_tokens,
-                    temperature=temperature, eos_id=eos,
-                    chunk_size=int(params.get("chunk_size",
-                                               self.decode_chunk)))
-                for i in range(toks.shape[1]):
-                    piece = self.tokenizer.decode(toks[0, :i + 1].tolist(),
+                toks = []
+                for tok in self.batched.submit(batch, max_new_tokens,
+                                               temperature):
+                    toks.append(int(tok))
+                    piece = self.tokenizer.decode(toks,
                                                   skip_special_tokens=True)
                     if stop_str and stop_str in piece:
                         piece = piece[:piece.index(stop_str)]
@@ -237,13 +241,19 @@ def main():
                         "storage")
     p.add_argument("--decode-chunk", type=int, default=32,
                    help="tokens per device dispatch in streaming decode")
+    p.add_argument("--max-batch", type=int, default=4,
+                   help="max concurrent requests decoded as one batch")
+    p.add_argument("--batch-window-ms", type=float, default=20.0,
+                   help="how long an underfull batch waits for stragglers")
     args = p.parse_args()
     worker = ModelWorker(args.controller_address, args.worker_address,
                          args.model_path, args.model_name,
                          args.limit_model_concurrency,
                          load_8bit=args.load_8bit,
                          load_4bit=args.load_4bit,
-                         decode_chunk=args.decode_chunk)
+                         decode_chunk=args.decode_chunk,
+                         max_batch=args.max_batch,
+                         batch_window_ms=args.batch_window_ms)
     server = ThreadingHTTPServer((args.host, args.port), make_handler(worker))
     print(f"worker listening on {args.host}:{args.port}")
     server.serve_forever()
