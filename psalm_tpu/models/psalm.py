@@ -33,7 +33,7 @@ from psalm_tpu.models.phi import PhiForCausalLM
 from psalm_tpu.models.pixel_decoder import MSDeformAttnPixelDecoder
 from psalm_tpu.models.projector import build_projector
 from psalm_tpu.models.swin import SwinTransformer
-from psalm_tpu.ops.sampling import point_sample
+from psalm_tpu.ops.sampling import point_sample_mmgrad
 
 
 def positions_of_mask(mask: jnp.ndarray, count: int) -> jnp.ndarray:
@@ -128,7 +128,7 @@ class PSALM(nn.Module):
         fmap = image_tokens.reshape(B, n, n, D)
         R, P = region_points.shape[1:3]
         pts = region_points.reshape(B, R * P, 2)
-        sampled = point_sample(fmap, pts, align_corners=True)
+        sampled = point_sample_mmgrad(fmap, pts, align_corners=True)
         return sampled.reshape(B, R, P, D).mean(axis=2)
 
     # ------------------------------------------------------------------

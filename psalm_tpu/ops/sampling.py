@@ -124,7 +124,7 @@ import functools
 
 
 @functools.lru_cache(maxsize=64)
-def _psm_build(fshape, fdtype_name):
+def _psm_build(fshape, fdtype_name, align_corners):
     """custom_vjp instance specialized to a static feat shape/dtype (the
     residual tree may only hold arrays, so shape/dtype live in this
     closure)."""
@@ -133,14 +133,18 @@ def _psm_build(fshape, fdtype_name):
 
     @jax.custom_vjp
     def sample(feat, coords):
-        return point_sample(feat, coords, align_corners=False)
+        return point_sample(feat, coords, align_corners=align_corners)
 
     def fwd(feat, coords):
         return sample(feat, coords), coords
 
     def bwd(coords, cot):
-        px = (coords[..., 0] * W - 0.5).astype(jnp.float32)
-        py = (coords[..., 1] * H - 0.5).astype(jnp.float32)
+        if align_corners:
+            px = (coords[..., 0] * (W - 1)).astype(jnp.float32)
+            py = (coords[..., 1] * (H - 1)).astype(jnp.float32)
+        else:
+            px = (coords[..., 0] * W - 0.5).astype(jnp.float32)
+            py = (coords[..., 1] * H - 0.5).astype(jnp.float32)
         wy = _axis_weights(py, H)  # [B, P, H]
         wx = _axis_weights(px, W)  # [B, P, W]
         cot = cot.astype(jnp.float32)
@@ -175,8 +179,8 @@ def _psm_build(fshape, fdtype_name):
     return sample
 
 
-def point_sample_mmgrad(feat: jnp.ndarray, coords: jnp.ndarray
-                        ) -> jnp.ndarray:
+def point_sample_mmgrad(feat: jnp.ndarray, coords: jnp.ndarray,
+                        align_corners: bool = False) -> jnp.ndarray:
     """point_sample(align_corners=False) whose feature gradient is computed
     as dense MXU matmuls instead of the gather VJP's scatter-add.
 
@@ -190,4 +194,5 @@ def point_sample_mmgrad(feat: jnp.ndarray, coords: jnp.ndarray
     criterion call site wraps coords in stop_gradient already; do NOT use
     this variant where a coords gradient is needed.
     """
-    return _psm_build(tuple(feat.shape), feat.dtype.name)(feat, coords)
+    return _psm_build(tuple(feat.shape), feat.dtype.name,
+                      bool(align_corners))(feat, coords)

@@ -71,3 +71,20 @@ def test_grad_under_jit_and_chunking():
         point_sample_mmgrad(f, coords) * w)))(feat)
     np.testing.assert_allclose(np.asarray(g_ref), np.asarray(g_mm),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_feature_grad_align_corners_true():
+    """align_corners=True (the region sampler's convention) grads match the
+    gather VJP too."""
+    rng = np.random.RandomState(5)
+    B, H, W, C = 2, 16, 16, 8
+    P = 40
+    feat = jnp.asarray(rng.randn(B, H, W, C), jnp.float32)
+    coords = _coords(rng, B, P)
+    w = jnp.asarray(rng.randn(B, P, C), jnp.float32)
+    g_ref = jax.grad(lambda f: jnp.sum(
+        point_sample(f, coords, align_corners=True) * w))(feat)
+    g_mm = jax.grad(lambda f: jnp.sum(
+        point_sample_mmgrad(f, coords, align_corners=True) * w))(feat)
+    np.testing.assert_allclose(np.asarray(g_ref), np.asarray(g_mm),
+                               rtol=1e-4, atol=1e-5)
