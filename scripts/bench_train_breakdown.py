@@ -83,7 +83,7 @@ def main():
     cfg = cfg.replace(
         pixel_decoder=dataclasses.replace(
             cfg.pixel_decoder, attention_mode="window", window_radius=RADIUS,
-            window_scan_tiles=False),
+            window_scan_tiles=os.environ.get("PSALM_TB_SCAN", "0") == "1"),
         phi=dataclasses.replace(cfg.phi, lora_rank=8))
     K = cfg.num_classes + 1
     model = PSALM(cfg, dtype=jnp.bfloat16, remat=REMAT, use_flash=FLASH)
