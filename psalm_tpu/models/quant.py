@@ -94,6 +94,9 @@ class Quant4Dense(nn.Module):
     # "native": a jnp.int4 [in, out] array — XLA owns the 2-per-byte HBM
     # packing AND the unpack-in-convert, which fuses into the dot's operand
     # load (the manual shifts don't). Same quantized values either way.
+    # "pallas": packed storage + the ops/int4_matvec.py VMEM-unpack kernel
+    # for decode-shaped calls (rows <= 16) — true int4 HBM traffic; falls
+    # back to the packed einsum math for prefill-shaped calls.
     storage: str = "packed"
 
     @nn.compact
@@ -125,6 +128,21 @@ class Quant4Dense(nn.Module):
                         (half, self.features), jnp.int8)
         scale = self.param("scale", nn.initializers.ones,
                            (G, self.features), jnp.float32)
+        if self.storage == "pallas":
+            from psalm_tpu.ops.int4_matvec import (int4_matvec,
+                                                   int4_matvec_supported)
+            lead = x.shape[:-1]
+            rows = int(np.prod(lead)) if lead else 1
+            if int4_matvec_supported(rows, in_f, self.features, group):
+                y = int4_matvec(x.reshape(rows, in_f), kq, scale, group,
+                                interpret=jax.default_backend() == "cpu")
+                y = y.reshape(*lead, self.features).astype(self.dtype)
+                if self.use_bias:
+                    bias = self.param("bias", nn.initializers.zeros,
+                                      (self.features,), jnp.float32)
+                    y = y + bias.astype(self.dtype)
+                return y
+            # prefill-shaped call: fall through to the packed einsum math
         low = jnp.right_shift(jnp.left_shift(kq, 4), 4)
         high = jnp.right_shift(kq, 4)
         lead = x.shape[:-1]

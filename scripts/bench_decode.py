@@ -133,6 +133,9 @@ def main():
         elif v == "int4n":
             results["int4n"] = bench_variant("int4n", 4, True,
                                              storage="native")
+        elif v == "int4p":
+            results["int4p"] = bench_variant("int4p", 4, True,
+                                             storage="pallas")
     print(json.dumps(results))
 
 

@@ -178,6 +178,27 @@ def main():
                   file=sys.stderr)
             row["int4_native_group"] = -1.0
 
+        # ---- int4 Pallas VMEM-unpack kernel (ops/int4_matvec.py) ----
+        from psalm_tpu.ops.int4_matvec import (int4_matvec,
+                                               int4_matvec_supported)
+        L = copies_for(K * N // 2)
+        ws = []
+        for i in range(L):
+            packed, sg = quantize_kernel_int4(base[i % len(base)], GROUP)
+            ws.append((jnp.asarray(packed), jnp.asarray(sg, jnp.float32)))
+        if int4_matvec_supported(1, K, N, group):
+            interp = jax.default_backend() == "cpu"
+            try:
+                row["int4_pallas"] = scan_time(
+                    lambda c, P, S: int4_matvec(c, P, S, group,
+                                                interpret=interp), x, ws)
+            except Exception as e:  # noqa: BLE001
+                print(f"  int4_pallas failed: {type(e).__name__}: {e}",
+                      file=sys.stderr)
+                row["int4_pallas"] = -1.0
+        else:
+            row["int4_pallas"] = -1.0
+
         key = f"{K}x{N}"
         results[key] = {k: round(v * 1e6, 1) for k, v in row.items()}
         print(f"{key}: " + "  ".join(

@@ -130,6 +130,36 @@ def test_int4_native_storage_matches_packed():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_int4_pallas_storage_matches_packed():
+    """Quant4Dense(storage='pallas') dispatches decode-shaped calls to the
+    ops/int4_matvec.py kernel (interpret mode on CPU) and prefill-shaped
+    calls to the packed einsum math; both agree with the packed path to
+    bf16/f32 compute-order tolerance on the same param tree."""
+    from psalm_tpu.models.quant import Quant4Dense, quantize_kernel_int4
+    rng = np.random.RandomState(0)
+    in_f, out_f, group = 256, 128, 64
+    k = rng.randn(in_f, out_f).astype(np.float32) * 0.05
+    bias = rng.randn(out_f).astype(np.float32) * 0.01
+    packed, scale = quantize_kernel_int4(k, group)
+    params = {"params": {"kernel_q4": jnp.asarray(packed),
+                         "scale": jnp.asarray(scale),
+                         "bias": jnp.asarray(bias)}}
+    dp = Quant4Dense(out_f, group=group, dtype=jnp.float32)
+    dk = Quant4Dense(out_f, group=group, dtype=jnp.float32,
+                     storage="pallas")
+    for rows in (1, 3, 64):  # decode-shaped (kernel) and prefill (fallback)
+        x = jnp.asarray(rng.randn(rows, in_f), jnp.float32)
+        yp = dp.apply(params, x)
+        yk = dk.apply(params, x)
+        np.testing.assert_allclose(np.asarray(yk), np.asarray(yp),
+                                   rtol=2e-2, atol=2e-3)
+    # leading batch dims flatten into rows
+    xb = jnp.asarray(rng.randn(2, 4, in_f), jnp.float32)
+    np.testing.assert_allclose(np.asarray(dk.apply(params, xb)),
+                               np.asarray(dp.apply(params, xb)),
+                               rtol=2e-2, atol=2e-3)
+
+
 def test_quantize_phi_int4_native_tree():
     from psalm_tpu.models.quant import quantize_phi_int4
     cfg, model, x, mask = _phi_setup()
