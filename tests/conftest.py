@@ -6,14 +6,26 @@ import sys
 
 # Force CPU: the harness presets JAX_PLATFORMS=axon (one real TPU chip) and a
 # sitecustomize that registers the axon backend at interpreter start whenever
-# PALLAS_AXON_POOL_IPS is set — env tweaks after startup are too late. If the
-# axon backend is already registered in this interpreter, re-exec pytest in a
-# clean environment so unit tests run on the simulated 8-device CPU mesh.
+# PALLAS_AXON_POOL_IPS is set. Registration is lazy — no backend client
+# exists until the first device op — so flipping jax_platforms to cpu here
+# (before any test touches a device) is sufficient and keeps this process's
+# stdout intact. (The previous os.execve re-exec ran the suite correctly but
+# inherited pytest's capture tempfile as fd 1, so the terminal report
+# vanished.) If a backend was already initialized, fall back to re-exec.
 if os.environ.get("PALLAS_AXON_POOL_IPS") and "jax" in sys.modules:
-    env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu",
-               XLA_FLAGS=(os.environ.get("XLA_FLAGS", "")
-                          + " --xla_force_host_platform_device_count=8").strip())
-    os.execve(sys.executable, [sys.executable, "-m", "pytest", *sys.argv[1:]], env)
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=8"
+                               ).strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["PALLAS_AXON_POOL_IPS"] = ""
+    import jax as _jax
+    try:
+        _jax.config.update("jax_platforms", "cpu")
+        assert _jax.default_backend() == "cpu"
+    except Exception:  # backend already live — last resort, re-exec clean
+        env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
+        os.execve(sys.executable,
+                  [sys.executable, "-m", "pytest", *sys.argv[1:]], env)
 
 os.environ["PALLAS_AXON_POOL_IPS"] = ""
 os.environ["JAX_PLATFORMS"] = "cpu"
