@@ -136,16 +136,19 @@ def main():
         row["int4_manual"] = scan_time(manual, x, ws)
 
         # ---- int4 native dtype, per-out-channel scale ----
+        # jnp.int4 array CREATION itself can fail on some backends (the
+        # tunneled axon runtime recursively jits the eager S4 convert), so
+        # the guard wraps construction too
         L = copies_for(K * N // 2)
-        ws = []
-        for i in range(L):
-            w = base[i % len(base)]
-            amax4 = np.abs(w).max(0)
-            s4 = np.where(amax4 > 0, amax4 / 7.0, 1.0).astype(np.float32)
-            q4 = np.clip(np.round(w / s4), -7, 7).astype(np.int8)
-            ws.append((jnp.asarray(q4, jnp.int4),
-                       jnp.asarray(s4, jnp.bfloat16)))
         try:
+            ws = []
+            for i in range(L):
+                w = base[i % len(base)]
+                amax4 = np.abs(w).max(0)
+                s4 = np.where(amax4 > 0, amax4 / 7.0, 1.0).astype(np.float32)
+                q4 = np.clip(np.round(w / s4), -7, 7).astype(np.int8)
+                ws.append((jnp.asarray(q4, jnp.int4),
+                           jnp.asarray(s4, jnp.bfloat16)))
             row["int4_native"] = scan_time(
                 lambda c, Q, S: (c @ Q.astype(jnp.bfloat16)) * S, x, ws)
         except Exception as e:  # noqa: BLE001 — backend may lack int4
@@ -154,17 +157,6 @@ def main():
             row["int4_native"] = -1.0
 
         # ---- int4 native storage + per-group partial-dot scales ----
-        ws = []
-        for i in range(L):
-            w = base[i % len(base)]
-            kg = w.reshape(G, group, N)
-            amaxg = np.abs(kg).max(1)
-            sgr = np.where(amaxg > 0, amaxg / 7.0, 1.0).astype(np.float32)
-            qg = np.clip(np.round(kg / sgr[:, None, :]), -7, 7)
-            ws.append((jnp.asarray(qg.reshape(K, N).astype(np.int8),
-                                   jnp.int4),
-                       jnp.asarray(sgr, jnp.float32)))
-
         def native_g(c, Q, S):
             xg = c.reshape(1, G, group)
             kq = Q.reshape(G, group, N).astype(jnp.bfloat16)
@@ -172,6 +164,16 @@ def main():
             return jnp.einsum("bgo,go->bo", part, S.astype(part.dtype))
 
         try:
+            ws = []
+            for i in range(L):
+                w = base[i % len(base)]
+                kg = w.reshape(G, group, N)
+                amaxg = np.abs(kg).max(1)
+                sgr = np.where(amaxg > 0, amaxg / 7.0, 1.0).astype(np.float32)
+                qg = np.clip(np.round(kg / sgr[:, None, :]), -7, 7)
+                ws.append((jnp.asarray(qg.reshape(K, N).astype(np.int8),
+                                       jnp.int4),
+                           jnp.asarray(sgr, jnp.float32)))
             row["int4_native_group"] = scan_time(native_g, x, ws)
         except Exception as e:  # noqa: BLE001
             print(f"  int4_native_group failed: {type(e).__name__}: {e}",
