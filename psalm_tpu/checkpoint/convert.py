@@ -335,3 +335,59 @@ def load_orbax(path: str) -> Dict[str, Any]:
     import orbax.checkpoint as ocp
     ckptr = ocp.StandardCheckpointer()
     return ckptr.restore(os.path.abspath(path))
+
+
+_TOKENIZER_FILES = (
+    "tokenizer.json", "tokenizer_config.json", "vocab.json", "merges.txt",
+    "special_tokens_map.json", "added_tokens.json", "tokenizer.model",
+)
+
+
+def main(argv=None) -> None:
+    """CLI: convert the released torch HF checkpoint dir to an orbax dir the
+    eval/serve CLIs consume directly (weights-day runbook step 1,
+    scripts/weights_day.sh). Writes the psalm_tpu config JSON and copies the
+    tokenizer files alongside so --model_path <out> is self-contained."""
+    import argparse
+    import shutil
+
+    from psalm_tpu.config import (PSALMConfig, config_from_json,
+                                  config_to_json, tiny_test_config)
+
+    p = argparse.ArgumentParser(description=main.__doc__)
+    p.add_argument("--torch_dir", required=True,
+                   help="HF checkpoint dir (safetensors or pytorch_model*.bin)")
+    p.add_argument("--out", required=True, help="output orbax directory")
+    p.add_argument("--config_json", default=None,
+                   help="psalm_tpu config JSON file; default = flagship "
+                        "PSALMConfig (matches the released checkpoint)")
+    p.add_argument("--tiny", action="store_true",
+                   help="use tiny_test_config() (synthetic-checkpoint tests)")
+    args = p.parse_args(argv)
+
+    if args.config_json:
+        with open(args.config_json) as f:
+            cfg = config_from_json(f.read())
+    elif args.tiny:
+        cfg = tiny_test_config()
+    else:
+        cfg = PSALMConfig()
+
+    sd = load_torch_state_dict(args.torch_dir)
+    print(f"loaded {len(sd)} tensors from {args.torch_dir}")
+    variables = convert_psalm_checkpoint(sd, cfg)
+    save_orbax(variables, args.out)
+    with open(os.path.join(args.out, "psalm_tpu_config.json"), "w") as f:
+        f.write(config_to_json(cfg))
+    copied = []
+    for name in _TOKENIZER_FILES:
+        src = os.path.join(args.torch_dir, name)
+        if os.path.exists(src):
+            shutil.copy(src, os.path.join(args.out, name))
+            copied.append(name)
+    print(f"saved orbax checkpoint + config to {args.out}"
+          + (f" (tokenizer files: {', '.join(copied)})" if copied else ""))
+
+
+if __name__ == "__main__":
+    main()

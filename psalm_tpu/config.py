@@ -250,6 +250,45 @@ class PSALMConfig:
         return dataclasses.replace(self, **kw)
 
 
+def config_to_json(cfg: PSALMConfig) -> str:
+    """Serialize the config tree to JSON (saved next to converted
+    checkpoints so eval/serve CLIs reconstruct the exact model the weights
+    were converted for — the reference stores the analogous knobs in the HF
+    config.json + mask_config YAML chain)."""
+    import json
+    d = dataclasses.asdict(cfg)
+    d["seg_task"] = cfg.seg_task.value
+    return json.dumps(d, indent=1, sort_keys=True)
+
+
+def config_from_json(text: str) -> PSALMConfig:
+    """Inverse of :func:`config_to_json`. Tolerates missing keys (defaults
+    apply) so old checkpoints keep loading after config fields are added."""
+    import json
+    d = json.loads(text)
+    sub = {"phi": PhiConfig, "swin": SwinConfig, "projector": ProjectorConfig,
+           "pixel_decoder": PixelDecoderConfig,
+           "mask_decoder": MaskDecoderConfig, "loss": LossConfig}
+    kw = {}
+    for key, val in d.items():
+        if key in sub:
+            cls = sub[key]
+            fields = {f.name: f for f in dataclasses.fields(cls)}
+            args = {}
+            for k, v in val.items():
+                if k not in fields:
+                    continue
+                if isinstance(v, list):
+                    v = tuple(v)
+                args[k] = v
+            kw[key] = cls(**args)
+        elif key == "seg_task":
+            kw[key] = SegTask(val)
+        elif key in {f.name for f in dataclasses.fields(PSALMConfig)}:
+            kw[key] = val
+    return PSALMConfig(**kw)
+
+
 def tiny_test_config() -> PSALMConfig:
     """A miniature config for unit tests: same topology, tiny dims."""
     return PSALMConfig(

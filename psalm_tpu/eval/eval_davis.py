@@ -118,10 +118,11 @@ def parse_args():
 
 
 def evaluation(args, cfg=None, tokenizer=None, model=None, variables=None):
-    cfg = cfg or PSALMConfig(seg_task=SegTask.REGION)
     if model is None:
         tokenizer, model, variables, _ = load_pretrained_model(
             args.model_path, seg_task=SegTask.REGION, cfg=cfg)
+        cfg = model.cfg  # checkpoint-supplied config when cfg was None
+    cfg = cfg or PSALMConfig(seg_task=SegTask.REGION)
     with open(args.json_path) as f:
         data = json.load(f)
 

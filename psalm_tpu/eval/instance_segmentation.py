@@ -29,10 +29,11 @@ def parse_args():
 
 
 def evaluation(args, cfg=None, tokenizer=None, model=None, variables=None):
-    cfg = cfg or PSALMConfig(seg_task=SegTask.INSTANCE)
     if model is None:
         tokenizer, model, variables, _ = load_pretrained_model(
             args.model_path, seg_task=SegTask.INSTANCE, cfg=cfg)
+        cfg = model.cfg  # checkpoint-supplied config when cfg was None
+    cfg = cfg or PSALMConfig(seg_task=SegTask.INSTANCE)
 
     dcfg = DataConfig(image_size=cfg.image_size,
                       num_image_tokens=(cfg.image_size // 64) ** 2,

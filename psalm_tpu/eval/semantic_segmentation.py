@@ -122,10 +122,11 @@ def parse_args():
 
 
 def evaluation(args, cfg=None, tokenizer=None, model=None, variables=None):
-    cfg = cfg or PSALMConfig(seg_task=SegTask.SEMANTIC)
     if model is None:
         tokenizer, model, variables, _ = load_pretrained_model(
             args.model_path, seg_task=SegTask.SEMANTIC, cfg=cfg)
+        cfg = model.cfg  # checkpoint-supplied config when cfg was None
+    cfg = cfg or PSALMConfig(seg_task=SegTask.SEMANTIC)
     with open(args.class_names) as f:
         class_names = [l.strip() for l in f if l.strip()]
 

@@ -29,7 +29,16 @@ def load_pretrained_model(model_path: str, seg_task: SegTask = SegTask.PANOPTIC,
     models/quant.py — the int4 path is a real group-quantized load, not the
     reference's config-only passthrough).
     """
-    cfg = cfg or PSALMConfig(seg_task=seg_task)
+    if cfg is None:
+        # a converted checkpoint dir carries its own config
+        # (checkpoint/convert.py main writes psalm_tpu_config.json)
+        cfg_path = os.path.join(model_path, "psalm_tpu_config.json")
+        if os.path.isdir(model_path) and os.path.exists(cfg_path):
+            from psalm_tpu.config import config_from_json
+            with open(cfg_path) as f:
+                cfg = config_from_json(f.read()).replace(seg_task=seg_task)
+        else:
+            cfg = PSALMConfig(seg_task=seg_task)
     assert not (load_8bit and load_4bit)
     if load_8bit and cfg.phi.quant_bits != 8:
         import dataclasses
