@@ -187,6 +187,10 @@ class PixelDecoderConfig:
     # True: tile-scan t1 contraction (eval-optimal fwd); False: one einsum
     # pair (train-optimal bwd). train/train.py flips this to False.
     window_scan_tiles: bool = True
+    # True: 2-D sampling-matrix formulation (fold the P-point sum and
+    # attention weights into one rank-P stencil per query, K = wh*ww MXU
+    # contraction — see ops/msdeform_window.py::ms_deform_attn_window).
+    window_fold_points: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

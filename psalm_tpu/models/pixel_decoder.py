@@ -67,6 +67,7 @@ class MSDeformAttnLayer(nn.Module):
     window_radius: float = 8.0
     window_tile: int = 16
     window_scan_tiles: bool = True
+    window_fold_points: bool = False
 
     @nn.compact
     def __call__(self, query, src, reference_points, spatial_shapes):
@@ -112,7 +113,8 @@ class MSDeformAttnLayer(nn.Module):
             out = ms_deform_attn_window(value, spatial_shapes, loc, attn,
                                         tile=self.window_tile,
                                         radius=self.window_radius,
-                                        scan_tiles=self.window_scan_tiles)
+                                        scan_tiles=self.window_scan_tiles,
+                                        fold_points=self.window_fold_points)
         else:
             out = ms_deform_attn(value, spatial_shapes, loc, attn,
                                  impl=self.impl)
@@ -175,6 +177,7 @@ class EncoderLayer(nn.Module):
                 window_radius=getattr(c, "window_radius", 8.0),
                 window_tile=getattr(c, "window_tile", 16),
                 window_scan_tiles=getattr(c, "window_scan_tiles", True),
+                window_fold_points=getattr(c, "window_fold_points", False),
                 name="self_attn")(
                 src + pos, src, reference_points, spatial_shapes)
         src = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(src + src2)

@@ -141,6 +141,7 @@ def ms_deform_attn_window(
     radius: float = 8.0,
     head_chunk: int = 1,
     scan_tiles: bool = True,
+    fold_points: bool = False,
 ) -> jnp.ndarray:
     """Windowed MSDeformAttn. Same signature/convention as ms_deform_attn_xla
     (value [B,S,M,D], locations [B,Q,M,L,P,2] in [0,1], weights [B,Q,M,L,P]);
@@ -151,6 +152,19 @@ def ms_deform_attn_window(
     per op on v5e); False (train-optimal) computes the tile batch with one
     einsum pair whose backward parallelizes better (train step 1.94 s vs
     2.16 s with the sequential scan VJP).
+
+    fold_points: the 2-D sampling-matrix formulation. The separable 2-stage
+    form must keep the P sampling points distinct through the big y-stage
+    matmul (a sum of separable products is not separable), so the MXU does
+    nq*P rows of work at contraction depth K = wh (~34 — under a third of
+    the 128-deep systolic array). Folding instead builds, per query, ONE
+    rank-P 2-D stencil over the flattened window
+        A2[q, y*ww+x] = sum_p attn[q,p] * Ay[q,p,y] * Ax[q,p,x]
+    (a cheap batched outer product of the same 2-tap axis stencils) and
+    samples with a single matmul A2 [nq, wh*ww] @ win [wh*ww, D]: P times
+    fewer matmul rows and K = wh*ww (~1156, fully covering the MXU). Same
+    clamp/border semantics; summation order over P moves before the spatial
+    contraction (bit-identical in f32, reorder-level difference in bf16).
     """
     B, S, M, D = value.shape
     _, Q, _, L, P, _ = sampling_locations.shape
@@ -224,6 +238,31 @@ def ms_deform_attn_window(
 
             def head_body(ops, wh=wh, ww=ww, nq=nq, Hv=Hv, Wv=Wv, hc=hc):
                 xh_, yh_, awh_, wn = ops  # leading dim hc
+                if fold_points:
+                    # [hc,B,T,nq,P,wh/ww]; attention folded into Ax
+                    Ay = _axis_weights(yh_, ry, sy_b, wh, Hv, radius,
+                                       None, dt)
+                    Ax = _axis_weights(xh_, rx, sx_b, ww, Wv, radius,
+                                       awh_.astype(dt), dt)
+                    wn2 = wn.reshape(hc, B, T, wh * ww, D)
+
+                    if not scan_tiles:
+                        a2 = jnp.einsum("cbtqpy,cbtqpx->cbtqyx", Ay, Ax)
+                        a2 = a2.reshape(hc, B, T, nq, wh * ww)
+                        return jnp.einsum("cbtqk,cbtkd->cbtqd", a2, wn2)
+
+                    def tile_body2(_, ops_t):
+                        ay, ax, wnl = ops_t  # [hc,B,nq,P,wh/ww], [hc,B,whww,D]
+                        a2 = jnp.einsum("cbqpy,cbqpx->cbqyx", ay, ax)
+                        a2 = a2.reshape(hc, B, nq, wh * ww)
+                        return None, jnp.einsum("cbqk,cbkd->cbqd", a2, wnl)
+
+                    _, out = jax.lax.scan(
+                        tile_body2, None,
+                        (jnp.moveaxis(Ay, 2, 0), jnp.moveaxis(Ax, 2, 0),
+                         jnp.moveaxis(wn2, 2, 0)))
+                    return jnp.moveaxis(out, 0, 2)  # [hc,B,T,nq,D]
+
                 Ay = _axis_weights(yh_, ry, sy_b, wh, Hv, radius,
                                    None, dt).reshape(hc, B, T, nq * P, wh)
                 Ax = _axis_weights(xh_, rx, sx_b, ww, Wv, radius,
@@ -260,7 +299,10 @@ def ms_deform_attn_window(
                                (chunked(xh), chunked(yh), chunked(awh),
                                 chunked(win)))
             outh = outh.reshape((M,) + outh.shape[2:])
-            contrib = outh.reshape(M, B, T, nq, P, D).sum(4)  # [M,B,T,nq,D]
+            if fold_points:               # P summed inside the 2-D stencil
+                contrib = outh            # [M,B,T,nq,D]
+            else:
+                contrib = outh.reshape(M, B, T, nq, P, D).sum(4)
             acc = contrib if acc is None else acc + contrib
 
         o = jnp.transpose(acc, (1, 2, 3, 0, 4))              # [B,T,nq,M,D]

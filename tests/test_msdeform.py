@@ -145,9 +145,10 @@ def _encoder_case(seed, shapes, max_off, B=2, M=4, D=16, P=4):
     return value, loc, attn
 
 
+@pytest.mark.parametrize("fold", [False, True])
 @pytest.mark.parametrize("shapes", [((8, 8), (16, 16), (32, 32)),
                                     ((6, 10), (12, 20), (24, 40))])
-def test_msda_window_matches_oracle_within_radius(shapes):
+def test_msda_window_matches_oracle_within_radius(shapes, fold):
     """In-radius offsets: the windowed MXU formulation is exact (incl.
     zero-padding at image borders — offsets up to R reach out of image
     at edge tiles)."""
@@ -158,11 +159,12 @@ def test_msda_window_matches_oracle_within_radius(shapes):
         jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(attn)))
     got = np.asarray(ms_deform_attn_window(
         jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(attn),
-        tile=8, radius=R))
+        tile=8, radius=R, fold_points=fold))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
-def test_msda_window_grads_match_oracle():
+@pytest.mark.parametrize("fold", [False, True])
+def test_msda_window_grads_match_oracle(fold):
     from psalm_tpu.ops.msdeform_window import ms_deform_attn_window
     shapes = ((4, 4), (8, 8), (16, 16))
     R = 2.0
@@ -185,7 +187,8 @@ def test_msda_window_grads_match_oracle():
                                    rtol=1e-4, atol=1e-4)
 
 
-def test_msda_window_clamps_beyond_radius():
+@pytest.mark.parametrize("fold", [False, True])
+def test_msda_window_clamps_beyond_radius(fold):
     """Out-of-radius offsets: output is finite and equals the oracle run on
     the clamped locations (clamp = clip offsets to ±R target-level px)."""
     from psalm_tpu.ops.msdeform_window import ms_deform_attn_window
@@ -194,7 +197,7 @@ def test_msda_window_clamps_beyond_radius():
     value, loc, attn = _encoder_case(2, shapes, max_off=12.0, B=1)
     got = np.asarray(ms_deform_attn_window(
         jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(attn),
-        tile=8, radius=R))
+        tile=8, radius=R, fold_points=fold))
     assert np.isfinite(got).all()
     # build the explicitly clamped locations and compare to the oracle
     refs = []
