@@ -24,28 +24,22 @@ params = jax.jit(lambda r, b: model.init(r, b, use_class_names=True,
                                          num_class_names=K))(
     jax.random.PRNGKey(0), batch)
 
-def _sync(out):
-    # block_until_ready is unreliable on the axon remote backend; a host
-    # reduction is the honest sync. One leaf is enough: each timed stage is
-    # a single XLA executable, whose outputs materialize together.
-    for leaf in jax.tree.leaves(out):
-        if hasattr(leaf, "dtype"):
-            float(jnp.sum(leaf.astype(jnp.float32)))
-            return
+import sys
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from scan_timer import scan_rate_ms
 
 
-def timed(name, fn, *args, iters=6):
+def timed(name, fn, *args, iters=None):
+    # in-program scan difference timing (scan_timer.py): pure device
+    # ms/stage regardless of tunnel state. The earlier async-dispatch
+    # methodology underrepresented RPC costs with a healthy tunnel and
+    # overrepresented device time with a degraded one (overlapped
+    # dispatches are penalized — the BENCH_r03 pathology).
     out = fn(*args)
-    _sync(out)
-    # per-iter sync would add the tunneled backend's RPC floor to every
-    # iteration; dispatch all iters asynchronously and sync ONCE, so the
-    # per-iter figure is device time (one amortized RPC across iters)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    _sync(out)
-    dt = (time.perf_counter() - t0) / iters
-    print(f"{name:28s} {dt*1000:8.1f} ms", flush=True)
+    # time against the LAST float arg (the stage input; perturbing params
+    # would be equally fine — any real data dependency defeats hoisting)
+    ms = scan_rate_ms(fn, *args)
+    print(f"{name:28s} {ms:8.1f} ms", flush=True)
     return out
 
 imgs = batch["images"]

@@ -56,26 +56,24 @@ def want(stage):
     return not STAGES or stage in STAGES
 
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from scan_timer import scan_rate_ms
+
+
 def timed(fn, *args, iters=4, warmup=1, label=""):
-    """Median wall time; a failing stage reports -1 instead of killing the
-    run (the tunneled axon runtime can reject individual programs)."""
+    """Device ms via the in-program scan difference method (scan_timer.py) —
+    pure device time regardless of tunnel state (round-3's async-dispatch
+    methodology inherited the backend's overlapped-dispatch penalty). A
+    failing stage reports -1 instead of killing the run (the tunneled axon
+    runtime can reject individual programs)."""
     try:
-        for _ in range(warmup):
-            jax.block_until_ready(fn(*args))
-        times = []
-        for _ in range(iters):
-            t0 = time.perf_counter()
-            out = fn(*args)
-            # materialize a scalar — honest sync on the tunneled backend
-            np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
-            times.append(time.perf_counter() - t0)
+        ms = scan_rate_ms(fn, *args, k=4, reps=2)
     except Exception as e:  # noqa: BLE001 — keep the remaining stages
         print(f"  {label:<18} FAILED: {type(e).__name__}: {e}",
               file=sys.stderr)
         return -1.0
-    p50 = sorted(times)[len(times) // 2]
-    print(f"  {label:<18} {p50 * 1e3:8.1f} ms", file=sys.stderr)
-    return p50
+    print(f"  {label:<18} {ms:8.1f} ms", file=sys.stderr)
+    return ms / 1e3
 
 
 def main():
@@ -251,9 +249,54 @@ def main():
         results["full_step"] = timed(step, trainable, frozen, opt_state,
                                      batch, key, label="full_step")
 
+    # -- chained multi-step training rate (the images/sec/chip number) -------
+    # k steps inside ONE dispatch with (params, opt_state, rng) carried
+    # through — a realistic consecutive-steps run, device time by the same
+    # difference method
+    if want("train_rate"):
+        def run_k(length, tr, opt_state, batch, rng):
+            def body(carry, _):
+                tr_, opt_, rng_ = carry
+                rng_, sub = jax.random.split(rng_)
+                tr_, opt_, loss = step_impl(tr_, frozen, opt_, batch, sub)
+                return (tr_, opt_, rng_), loss
+            (tr, opt_state, _), losses = jax.lax.scan(
+                body, (tr, opt_state, rng), None, length=length)
+            return losses[-1]
+
+        def step_impl(tr, fz, opt_state, batch, rng):
+            (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                tr, fz, batch, rng)
+            updates, opt_state = tx.update(grads, opt_state, tr)
+            tr = optax.apply_updates(tr, updates)
+            return tr, opt_state, loss
+
+        try:
+            jr = jax.jit(run_k, static_argnums=0)
+            for length in (1, 4):
+                jr(length, trainable, opt_state, batch, key).block_until_ready()
+            per = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                jr(1, trainable, opt_state, batch, key).block_until_ready()
+                t1 = time.perf_counter()
+                jr(4, trainable, opt_state, batch, key).block_until_ready()
+                t2 = time.perf_counter()
+                per.append(((t2 - t1) - (t1 - t0)) / 3)
+            sec = sorted(per)[len(per) // 2]
+            results["train_rate_step"] = sec
+            print(f"  {'train_rate':<18} {sec * 1e3:8.1f} ms/step "
+                  f"({B / sec:.2f} img/s/chip)", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            print(f"  train_rate FAILED: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+
     results = {k: round(v * 1e3, 1) for k, v in results.items()}
     print(json.dumps({"batch": B, "remat": REMAT, "radius": RADIUS,
-                      "flash": FLASH, "ms": results}))
+                      "flash": FLASH, "ms": results,
+                      "train_img_per_s_per_chip": round(
+                          B / results["train_rate_step"] * 1e3, 3)
+                      if results.get("train_rate_step", -1) > 0 else None}))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,63 @@
+"""In-program lax.scan difference timing — device ms/op on any backend.
+
+One dispatch runs `fn` k times inside lax.scan with a carry-dependent ~0
+perturbation on the first float leaf of the perturbed argument (a real data
+dependency XLA cannot constant-fold or hoist), timed against a k=1 run of
+the same program; (T_k - T_1)/(k-1) cancels the per-dispatch RPC floor and
+the result download of the sandbox's tunneled runtime, isolating what the
+chip does per iteration. Robust to overlapped-dispatch degradation by
+construction (single dispatch) — the pathology that collapsed BENCH_r03.
+"""
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def _perturb(tree, eps):
+    """Add eps (a traced ~0 scalar) to the first inexact leaf."""
+    leaves, treedef = jax.tree.flatten(tree)
+    done = False
+    out = []
+    for leaf in leaves:
+        if (not done and hasattr(leaf, "dtype")
+                and jnp.issubdtype(leaf.dtype, jnp.inexact)):
+            out.append(leaf + eps.astype(leaf.dtype))
+            done = True
+        else:
+            out.append(leaf)
+    return jax.tree.unflatten(treedef, out)
+
+
+def scan_rate_ms(fn, *args, k: int = 8, reps: int = 3,
+                 perturb_arg: int = 0) -> float:
+    """Median device milliseconds per `fn(*args)` call."""
+
+    def one(*a):
+        out = fn(*a)
+        s = jnp.float32(0)
+        for leaf in jax.tree.leaves(out):
+            if hasattr(leaf, "dtype"):
+                s = s + jnp.sum(leaf.astype(jnp.float32))
+        return s
+
+    def run_k(length, *a):
+        def body(c, _):
+            ai = list(a)
+            ai[perturb_arg] = _perturb(ai[perturb_arg], c * 1e-30)
+            return one(*ai), None
+        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=length)
+        return c
+
+    jitted = jax.jit(run_k, static_argnums=0)
+    for length in (1, k):
+        jitted(length, *args).block_until_ready()
+    per = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jitted(1, *args).block_until_ready()
+        t1 = time.perf_counter()
+        jitted(k, *args).block_until_ready()
+        t2 = time.perf_counter()
+        per.append(((t2 - t1) - (t1 - t0)) / (k - 1))
+    return sorted(per)[len(per) // 2] * 1e3
