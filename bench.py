@@ -120,13 +120,15 @@ def _device_rate_scan(runner, jbatch, is_thing, k: int = 6, reps: int = 3):
 
     jitted = jax.jit(run_k, static_argnums=3)
     per_image = []
+    # int() materializes on the host — the only reliable sync on the
+    # tunneled axon runtime (block_until_ready can return early there)
     for length in (1, k):
-        jitted(runner.variables, jbatch, is_thing, length).block_until_ready()
+        int(jitted(runner.variables, jbatch, is_thing, length))
     for _ in range(reps):
         t0 = time.perf_counter()
-        jitted(runner.variables, jbatch, is_thing, 1).block_until_ready()
+        int(jitted(runner.variables, jbatch, is_thing, 1))
         t1 = time.perf_counter()
-        jitted(runner.variables, jbatch, is_thing, k).block_until_ready()
+        int(jitted(runner.variables, jbatch, is_thing, k))
         t2 = time.perf_counter()
         per_image.append(((t2 - t1) - (t1 - t0)) / (k - 1))
     sec = sorted(per_image)[len(per_image) // 2]

@@ -274,13 +274,13 @@ def main():
         try:
             jr = jax.jit(run_k, static_argnums=0)
             for length in (1, 4):
-                jr(length, trainable, opt_state, batch, key).block_until_ready()
+                float(jr(length, trainable, opt_state, batch, key))
             per = []
             for _ in range(2):
                 t0 = time.perf_counter()
-                jr(1, trainable, opt_state, batch, key).block_until_ready()
+                float(jr(1, trainable, opt_state, batch, key))
                 t1 = time.perf_counter()
-                jr(4, trainable, opt_state, batch, key).block_until_ready()
+                float(jr(4, trainable, opt_state, batch, key))
                 t2 = time.perf_counter()
                 per.append(((t2 - t1) - (t1 - t0)) / 3)
             sec = sorted(per)[len(per) // 2]

@@ -72,14 +72,16 @@ def scan_rate_ms(fn, k=8, reps=3, grad=False):
         return c
 
     jitted = jax.jit(run_k, static_argnums=3)
+    # float() materializes on the host — the only reliable sync on the
+    # tunneled axon runtime (block_until_ready can return early there)
     for length in (1, k):
-        jitted(val_d, loc_d, attn_d, length).block_until_ready()
+        float(jitted(val_d, loc_d, attn_d, length))
     per = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        jitted(val_d, loc_d, attn_d, 1).block_until_ready()
+        float(jitted(val_d, loc_d, attn_d, 1))
         t1 = time.perf_counter()
-        jitted(val_d, loc_d, attn_d, k).block_until_ready()
+        float(jitted(val_d, loc_d, attn_d, k))
         t2 = time.perf_counter()
         per.append(((t2 - t1) - (t1 - t0)) / (k - 1))
     return sorted(per)[len(per) // 2] * 1e3

@@ -50,14 +50,21 @@ def scan_rate_ms(fn, *args, k: int = 8, reps: int = 3,
         return c
 
     jitted = jax.jit(run_k, static_argnums=0)
+
+    def sync(x):
+        # block_until_ready can return before execution completes on the
+        # tunneled axon runtime; materializing the scalar on the host is
+        # the only reliable sync there
+        return float(x)
+
     for length in (1, k):
-        jitted(length, *args).block_until_ready()
+        sync(jitted(length, *args))
     per = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        jitted(1, *args).block_until_ready()
+        sync(jitted(1, *args))
         t1 = time.perf_counter()
-        jitted(k, *args).block_until_ready()
+        sync(jitted(k, *args))
         t2 = time.perf_counter()
         per.append(((t2 - t1) - (t1 - t0)) / (k - 1))
     return sorted(per)[len(per) // 2] * 1e3
