@@ -18,7 +18,7 @@ from __future__ import annotations
 import json
 import os
 import random
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 from PIL import Image
@@ -450,7 +450,12 @@ class UnifiedTaskSampler:
     def __iter__(self):
         return self
 
-    def __next__(self) -> Dict[str, Any]:
+    def next_index(self) -> Tuple[int, int]:
+        """Advance the schedule by one draw WITHOUT materializing the sample:
+        returns (dataset_position, sample_index). The schedule is pure
+        sampler state, so an async loader (data/prefetch.py) can run it
+        ahead on the main thread — keeping determinism — and farm the heavy
+        ds[idx] mapper work to workers."""
         ds_i = self.cur_dataset
         ds = self.datasets[ds_i]
         L = len(ds)
@@ -460,22 +465,29 @@ class UnifiedTaskSampler:
         L_eff = (L // self.num_shards) * self.num_shards
         if L_eff == 0:
             # dataset smaller than the host count: shards must overlap
-            sample = ds[self.orders[ds_i][self.cursors[ds_i] % L]]
+            idx = self.orders[ds_i][self.cursors[ds_i] % L]
             self.cursors[ds_i] += self.num_shards
         else:
             if self.cursors[ds_i] >= L_eff:
                 self.orders[ds_i] = self.rng.sample(range(L), L)
                 self.cursors[ds_i] = self.shard_index
-            sample = ds[self.orders[ds_i][self.cursors[ds_i]]]
+            idx = self.orders[ds_i][self.cursors[ds_i]]
             self.cursors[ds_i] += self.num_shards
         self.count_in_batch += 1
         if self.count_in_batch == self.batch_size:
             self.count_in_batch = 0
             self.cur_dataset = (self.cur_dataset + 1) % len(self.datasets)
-        return sample
+        return ds_i, idx
+
+    def __next__(self) -> Dict[str, Any]:
+        ds_i, idx = self.next_index()
+        return self.datasets[ds_i][idx]
 
     def next_batch(self) -> List[Dict[str, Any]]:
         return [next(self) for _ in range(self.batch_size)]
+
+    def next_batch_indices(self) -> List[Tuple[int, int]]:
+        return [self.next_index() for _ in range(self.batch_size)]
 
 
 def collate(samples: List[Dict[str, Any]]) -> Dict[str, np.ndarray]:

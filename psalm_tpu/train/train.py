@@ -64,6 +64,9 @@ def parse_args(argv=None):
     p.add_argument("--weight_decay", type=float, default=0.0)
     p.add_argument("--num_train_steps", type=int, default=100000)
     p.add_argument("--per_device_train_batch_size", type=int, default=4)
+    p.add_argument("--dataloader_num_workers", type=int, default=4,
+                   help="async input-pipeline mapper threads "
+                        "(data/prefetch.py); 0 = synchronous")
     p.add_argument("--model_max_length", type=int, default=2048)
     p.add_argument("--save_steps", type=int, default=15000)
     p.add_argument("--save_total_limit", type=int, default=1)
@@ -278,9 +281,32 @@ class Trainer:
 
         t0 = time.time()
         start_step = int(state.step)
+        # async input pipeline (data/prefetch.py): mapper + collate work
+        # overlaps the device step, like the reference's torch DataLoader
+        # num_workers=4 (train.sh). Batch order is bit-identical to the
+        # synchronous draw. 0 workers = synchronous (debug).
+        n_workers = getattr(args, "dataloader_num_workers", 4)
+        loader = None
+        if n_workers > 0:
+            from psalm_tpu.data.prefetch import PrefetchLoader
+            loader = PrefetchLoader(
+                sampler, collate, num_workers=n_workers,
+                num_batches=args.num_train_steps - start_step)
+        try:
+            return self._train_loop(loader, sampler, state, rng, log_path,
+                                    tb_writer, profile_range, t0, start_step)
+        finally:
+            if loader is not None:
+                loader.close()
+
+    def _train_loop(self, loader, sampler, state, rng, log_path, tb_writer,
+                    profile_range, t0, start_step):
+        args = self.args
         for step in range(start_step, args.num_train_steps):
-            batch_list = sampler.next_batch()
-            batch_np = collate(batch_list)
+            if loader is not None:
+                batch_np = next(loader)
+            else:
+                batch_np = collate(sampler.next_batch())
             dataset_type = batch_np.pop("dataset_type")
             num_k = int(batch_np.pop("num_class_names", [0])[0]) \
                 if "num_class_names" in batch_np else 0
