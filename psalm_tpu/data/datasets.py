@@ -490,9 +490,28 @@ class UnifiedTaskSampler:
         return [self.next_index() for _ in range(self.batch_size)]
 
 
-def collate(samples: List[Dict[str, Any]]) -> Dict[str, np.ndarray]:
+# the splicer's per-sample sequence arrays, all right-padded to pad_len
+# (splicer.py SplicedSample) — the keys sequence bucketing may trim
+_SEQ_KEYS = ("tok_ids", "src_type", "src_idx", "attention_mask", "labels",
+             "seg_query_mask", "class_name_embedding_indices",
+             "refer_embedding_indices", "region_embedding_mask")
+
+
+def collate(samples: List[Dict[str, Any]],
+            seq_bucket: int = 0) -> Dict[str, np.ndarray]:
     """Stack per-sample dicts into a batch (DataCollatorForCOCODatasetV2
-    analog, train_datasets.py:968-1043 — but everything is already static)."""
+    analog, train_datasets.py:968-1043 — but everything is already static).
+
+    seq_bucket > 0: trim the uniform right-padding down to the batch's max
+    real length rounded up to a multiple of seq_bucket (TPU-style length
+    bucketing). The reference pads nothing at eval (torch runs each prompt
+    at its natural length, model_max_length=2048 is only a cap); padding to
+    a static 2048 makes Phi do ~2-3x the useful full-seq work on a ~800
+    token panoptic prompt. Padding is inert end-to-end (masked keys,
+    IGNORE labels, position-gathered heads), so outputs are identical for
+    any bucket — tested in test_data_pipeline.py. Few distinct buckets
+    arise in practice (prompts are near-constant per task), so jit
+    recompiles stay bounded."""
     assert len({s["dataset_type"] for s in samples}) == 1, \
         "batch must be task-homogeneous"
     out: Dict[str, Any] = {}
@@ -505,4 +524,11 @@ def collate(samples: List[Dict[str, Any]]) -> Dict[str, np.ndarray]:
             out[k] = np.asarray([s[k] for s in samples])
         else:
             out[k] = np.stack([np.asarray(s[k]) for s in samples])
+    if seq_bucket and "attention_mask" in out:
+        lmax = int(out["attention_mask"].sum(-1).max())
+        L = min(out["attention_mask"].shape[-1],
+                -(-lmax // seq_bucket) * seq_bucket)
+        for k in _SEQ_KEYS:
+            if k in out:
+                out[k] = np.ascontiguousarray(out[k][..., :L])
     return out

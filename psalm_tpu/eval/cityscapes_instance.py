@@ -42,6 +42,10 @@ def parse_args():
     p.add_argument("--json_path", required=True)
     p.add_argument("--image_folder", required=True)
     p.add_argument("--model_max_length", type=int, default=2048)
+    p.add_argument("--seq_bucket", type=int, default=128,
+                   help="pad token sequences to the batch max rounded up "
+                        "to this multiple instead of model_max_length "
+                        "(0 = fixed pad; outputs identical either way)")
     p.add_argument("--limit", type=int, default=0)
     return p.parse_args()
 
@@ -67,7 +71,7 @@ def evaluation(args, cfg=None, tokenizer=None, model=None, variables=None):
     t0 = time.time()
     for i in range(n):
         s = ds[i]
-        out = runner.infer(collate([s]))
+        out = runner.infer(collate([s], seq_bucket=getattr(args, "seq_bucket", 128)))
         inst = out["instances"]
         rh, ow = s["resized_hw"], s["original_hw"]
         masks = inst["masks"][0]  # already at original resolution

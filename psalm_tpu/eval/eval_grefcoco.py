@@ -61,6 +61,10 @@ def parse_args():
     p.add_argument("--image_folder", required=True)
     p.add_argument("--thr", type=float, default=0.6)
     p.add_argument("--model_max_length", type=int, default=2048)
+    p.add_argument("--seq_bucket", type=int, default=128,
+                   help="pad token sequences to the batch max rounded up "
+                        "to this multiple instead of model_max_length "
+                        "(0 = fixed pad; outputs identical either way)")
     p.add_argument("--output_dir", default=None)
     p.add_argument("--limit", type=int, default=0)
     return p.parse_args()
@@ -93,7 +97,7 @@ def evaluation(args, cfg=None, tokenizer=None, model=None, variables=None):
     t0 = time.time()
     for i in range(n):
         s = ds[i]
-        batch = collate([s])
+        batch = collate([s], seq_bucket=getattr(args, "seq_bucket", 128))
         out = runner.infer(batch)
         ref = out["referring"]
         masks = ref["masks"][0]

@@ -29,6 +29,10 @@ def parse_args():
     p.add_argument("--image_folder", default=None)
     p.add_argument("--eval_batch_size", type=int, default=1)
     p.add_argument("--model_max_length", type=int, default=2048)
+    p.add_argument("--seq_bucket", type=int, default=128,
+                   help="pad token sequences to the batch max rounded up "
+                        "to this multiple instead of model_max_length "
+                        "(0 = fixed pad; outputs identical either way)")
     p.add_argument("--output_dir", default=None)
     p.add_argument("--limit", type=int, default=0, help="eval first N images")
     return p.parse_args()
@@ -69,7 +73,7 @@ def evaluation(args, cfg=None, tokenizer=None, model=None, variables=None):
         for i in range(0, n, args.eval_batch_size):
             samples = [ds[j]
                        for j in range(i, min(i + args.eval_batch_size, n))]
-            batch = collate(samples)
+            batch = collate(samples, seq_bucket=getattr(args, "seq_bucket", 128))
             # start the host->device upload on the prefetch thread so it
             # overlaps the previous batch's device compute
             yield i, samples, batch, runner.stage(batch)

@@ -29,6 +29,10 @@ def parse_args():
                             "box_visual_prompt_mask", "scribble_visual_prompt_mask"])
     p.add_argument("--eval_batch_size", type=int, default=1)
     p.add_argument("--model_max_length", type=int, default=2048)
+    p.add_argument("--seq_bucket", type=int, default=128,
+                   help="pad token sequences to the batch max rounded up "
+                        "to this multiple instead of model_max_length "
+                        "(0 = fixed pad; outputs identical either way)")
     p.add_argument("--output_dir", default=None)
     p.add_argument("--limit", type=int, default=0)
     return p.parse_args()
@@ -63,7 +67,7 @@ def evaluation(args, cfg=None, tokenizer=None, model=None, variables=None):
     t0 = time.time()
     for i in range(0, n, args.eval_batch_size):
         samples = [ds[j] for j in range(i, min(i + args.eval_batch_size, n))]
-        batch = collate(samples)
+        batch = collate(samples, seq_bucket=getattr(args, "seq_bucket", 128))
         out = runner.infer(batch)
         reg = out["region"]
         for b, s in enumerate(samples):

@@ -116,6 +116,10 @@ def parse_args():
                    help="subsample class list per image (OV eval)")
     p.add_argument("--ignore_label", type=int, default=255)
     p.add_argument("--model_max_length", type=int, default=2048)
+    p.add_argument("--seq_bucket", type=int, default=128,
+                   help="pad token sequences to the batch max rounded up "
+                        "to this multiple instead of model_max_length "
+                        "(0 = fixed pad; outputs identical either way)")
     p.add_argument("--output_dir", default=None)
     p.add_argument("--limit", type=int, default=0)
     return p.parse_args()
@@ -154,7 +158,7 @@ def evaluation(args, cfg=None, tokenizer=None, model=None, variables=None):
             runner_cache[K] = EvalRunner(model, variables, cfg,
                                          num_class_names=K)
         runner = runner_cache[K]
-        batch = collate([s])
+        batch = collate([s], seq_bucket=getattr(args, "seq_bucket", 128))
         out = runner.infer({k: v for k, v in batch.items()
                             if k not in ("label", "chosen")})
         # runner returns the argmax id map already at original resolution

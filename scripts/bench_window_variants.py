@@ -87,23 +87,29 @@ def scan_rate_ms(fn, k=8, reps=3, grad=False):
     return sorted(per)[len(per) // 2] * 1e3
 
 
+# Round 2 of the sweep. Round-1 findings (2026-08-19, v5e, scan-diff):
+#   legacy scan r8 10.54 / r4 7.51 ms; legacy einsum r8 13.74.
+#   fold_points LOSES everywhere (2.5x fwd, 2.2x bwd): the 2-D stencil
+#   build materializes ~4x the VPU-built volume of the separable Ay/Ax
+#   one-hots, and the K=34 matmul it was meant to fix wasn't the binding
+#   cost. The op looks LOOP-bound: h1 scan runs 8 heads x 252 tiles = 2016
+#   sequential steps (~5 us/step); this round sweeps head_chunk and tile
+#   on the LEGACY path to cut iteration count.
 VARIANTS = [
-    ("legacy scan   r8", dict(radius=8.0, scan_tiles=True, fold_points=False)),
-    ("legacy einsum r8", dict(radius=8.0, scan_tiles=False, fold_points=False)),
-    ("fold   scan   r8", dict(radius=8.0, scan_tiles=True, fold_points=True)),
-    ("fold   einsum r8", dict(radius=8.0, scan_tiles=False, fold_points=True)),
-    ("fold   scan h8r8", dict(radius=8.0, scan_tiles=True, fold_points=True,
-                              head_chunk=8)),
-    ("fold   eins h8r8", dict(radius=8.0, scan_tiles=False, fold_points=True,
-                              head_chunk=8)),
-    ("legacy scan   r4", dict(radius=4.0, scan_tiles=True, fold_points=False)),
-    ("fold   scan   r4", dict(radius=4.0, scan_tiles=True, fold_points=True)),
-    ("fold   scan h8r4", dict(radius=4.0, scan_tiles=True, fold_points=True,
-                              head_chunk=8)),
-    ("fold   t32 h8 r8", dict(radius=8.0, scan_tiles=True, fold_points=True,
-                              head_chunk=8, tile=32)),
-    ("fold   t8  h8 r8", dict(radius=8.0, scan_tiles=True, fold_points=True,
-                              head_chunk=8, tile=8)),
+    ("legacy scan h1 r8", dict(radius=8.0, scan_tiles=True)),
+    ("legacy scan h2 r8", dict(radius=8.0, scan_tiles=True, head_chunk=2)),
+    ("legacy scan h4 r8", dict(radius=8.0, scan_tiles=True, head_chunk=4)),
+    ("legacy scan h8 r8", dict(radius=8.0, scan_tiles=True, head_chunk=8)),
+    ("legacy scan h8 r4", dict(radius=4.0, scan_tiles=True, head_chunk=8)),
+    ("legacy t32  h8 r8", dict(radius=8.0, scan_tiles=True, head_chunk=8,
+                               tile=32)),
+    ("legacy t32  h4 r8", dict(radius=8.0, scan_tiles=True, head_chunk=4,
+                               tile=32)),
+    ("legacy t32  h1 r8", dict(radius=8.0, scan_tiles=True, tile=32)),
+    ("legacy eins h4 r8", dict(radius=8.0, scan_tiles=False, head_chunk=4)),
+    ("legacy eins h8 r8", dict(radius=8.0, scan_tiles=False, head_chunk=8)),
+    ("legacy t32e h8 r8", dict(radius=8.0, scan_tiles=False, head_chunk=8,
+                               tile=32)),
 ]
 
 print(f"shapes {SHAPES} S={S} M={M} D={D} P={P}  (device scan-diff ms/op)")
@@ -119,7 +125,7 @@ for name, kw in VARIANTS:
               flush=True)
 
 for name, kw in VARIANTS:
-    if "scan" in name and "einsum" not in name and "r4" not in name:
+    if "eins" not in name and "r4" not in name:
         continue  # bwd only matters for the train-relevant einsum variants
     fn = functools.partial(ms_deform_attn_window, spatial_shapes=SHAPES, **kw)
     f = lambda v, l, a, fn=fn: fn(v, sampling_locations=l,

@@ -139,3 +139,55 @@ def test_projector_variants():
     import pytest
     with pytest.raises(ValueError, match="unknown projector_type"):
         build_projector(ProjectorConfig(projector_type="conv9"))
+
+
+def test_seq_bucket_padding_is_inert():
+    """collate(seq_bucket=...) trims the uniform right-padding; model outputs
+    must be identical to the fully padded batch (padding is masked keys +
+    IGNORE labels + position-gathered heads — eval CLIs default to
+    seq_bucket=128 for the real 2048-cap datasets)."""
+    from psalm_tpu.data.datasets import collate as _collate
+
+    cfg = tiny_test_config()
+    s = cfg.image_size
+    n_img = (s // 64) ** 2
+    nq = cfg.mask_decoder.num_queries
+    K = 3
+    ids = [7, IMAGE_TOKEN_INDEX, 8] + [CLS_TOKEN_INDEX] * K + \
+          [9, SEG_TOKEN_INDEX]
+    cls_ids = np.array([10, 11, 12, 13, 14])
+    cls_idx = np.array([0, 0, 1, 2, 2])
+    real_len = n_img + nq + len(ids) + len(cls_ids) - 1 - K
+    pad_len = real_len + 37  # deliberately sloppy fixed pad
+    rng = np.random.default_rng(3)
+    samples = []
+    for b in range(2):
+        sp = splice(ids, None, num_image_tokens=n_img, num_seg_queries=nq,
+                    pad_len=pad_len, class_name_ids=cls_ids,
+                    cls_indices=cls_idx)
+        d = sp.as_dict()
+        d["dataset_type"] = "panoptic"
+        d["images"] = rng.standard_normal((s, s, 3)).astype(np.float32)
+        samples.append(d)
+
+    full = _collate(samples)
+    bucketed = _collate(samples, seq_bucket=8)
+    Lb = bucketed["attention_mask"].shape[-1]
+    assert Lb % 8 == 0 and real_len <= Lb < pad_len
+
+    model = PSALM(cfg)
+    jb = {k: jnp.asarray(np.stack([s_["images"] for s_ in samples]))
+          if k == "images" else jnp.asarray(v)
+          for k, v in full.items() if k != "dataset_type"}
+    params = jax.jit(lambda r, b: model.init(r, b, use_class_names=True,
+                                             num_class_names=K))(
+        jax.random.PRNGKey(0), jb)
+    apply = jax.jit(lambda p, b: model.apply(p, b, use_class_names=True,
+                                             num_class_names=K)["pred_masks"])
+    want = np.asarray(apply(params, jb))
+    jbb = {k: jnp.asarray(v) for k, v in bucketed.items()
+           if k != "dataset_type"}
+    got = np.asarray(apply(params, jbb))
+    # not bit-equal: XLA picks different matmul tilings per sequence length,
+    # reordering f32 accumulation (observed max rel diff ~6e-5)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
