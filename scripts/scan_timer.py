@@ -14,24 +14,19 @@ import jax
 import jax.numpy as jnp
 
 
-def _perturb(tree, eps):
-    """Add eps (a traced ~0 scalar) to the first inexact leaf."""
-    leaves, treedef = jax.tree.flatten(tree)
-    done = False
-    out = []
-    for leaf in leaves:
-        if (not done and hasattr(leaf, "dtype")
-                and jnp.issubdtype(leaf.dtype, jnp.inexact)):
-            out.append(leaf + eps.astype(leaf.dtype))
-            done = True
-        else:
-            out.append(leaf)
-    return jax.tree.unflatten(treedef, out)
-
-
 def scan_rate_ms(fn, *args, k: int = 8, reps: int = 3,
                  perturb_arg: int = 0) -> float:
-    """Median device milliseconds per `fn(*args)` call."""
+    """Median device milliseconds per `fn(*args)` call.
+
+    perturb_arg is accepted for API compatibility but unused: the body is
+    made un-hoistable with lax.optimization_barrier over (args..., carry) —
+    the barrier op depends on the loop carry, so every barrier output is
+    loop-variant and the computation consuming them cannot be moved out of
+    the loop. (An additive ~0 perturbation of one input leaf is NOT safe:
+    if that particular leaf is dead in the stage — e.g. the first flax
+    param leaf of a module the stage never reads — XLA DCEs the add and
+    then hoists the now-invariant body, which is how the first round-4
+    breakdown read 0 ms for every stage.)"""
 
     def one(*a):
         out = fn(*a)
@@ -43,9 +38,8 @@ def scan_rate_ms(fn, *args, k: int = 8, reps: int = 3,
 
     def run_k(length, *a):
         def body(c, _):
-            ai = list(a)
-            ai[perturb_arg] = _perturb(ai[perturb_arg], c * 1e-30)
-            return one(*ai), None
+            tied = jax.lax.optimization_barrier((a, c))
+            return one(*tied[0]) + 0.0 * tied[1], None
         c, _ = jax.lax.scan(body, jnp.float32(0), None, length=length)
         return c
 
