@@ -15,10 +15,13 @@ Env: PSALM_PHI_SEQ (default 1350), PSALM_PHI_PAD128=1 rounds seq up to a
 multiple of 128 to test sublane-padding sensitivity.
 """
 import os
+import sys
 import time
 
 import numpy as np
 import jax
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/psalm_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
@@ -41,12 +44,11 @@ mask = jnp.ones((B, SEQ), jnp.int32)
 
 
 def timeit(f, *a, n=20, warmup=3):
-    for _ in range(warmup):
-        jax.block_until_ready(f(*a))
-    t0 = time.perf_counter()
-    for _ in range(n):
-        jax.block_until_ready(f(*a))
-    return (time.perf_counter() - t0) / n * 1e3
+    # optimization-barrier scan-difference timing: pure device ms, robust
+    # to any tunnel state (per-iter block_until_ready both added the RPC
+    # floor per call AND can return early on the tunneled runtime)
+    from scan_timer import scan_rate_ms
+    return scan_rate_ms(f, *a, k=min(8, max(2, n // 2)), reps=3)
 
 
 def bench_stack(use_flash):
