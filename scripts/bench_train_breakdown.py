@@ -265,11 +265,13 @@ def main():
     # through — a realistic consecutive-steps run, device time by the same
     # difference method
     if want("train_rate"):
-        def run_k(length, tr, opt_state, batch, rng):
+        def run_k(length, tr, fz, opt_state, batch, rng):
+            # fz must be an ARGUMENT: closed over, the 1.5B frozen params
+            # lower as 5.6 GB of captured constants and OOM the chip
             def body(carry, _):
                 tr_, opt_, rng_ = carry
                 rng_, sub = jax.random.split(rng_)
-                tr_, opt_, loss = step_impl(tr_, frozen, opt_, batch, sub)
+                tr_, opt_, loss = step_impl(tr_, fz, opt_, batch, sub)
                 return (tr_, opt_, rng_), loss
             (tr, opt_state, _), losses = jax.lax.scan(
                 body, (tr, opt_state, rng), None, length=length)
@@ -285,13 +287,13 @@ def main():
         try:
             jr = jax.jit(run_k, static_argnums=0)
             for length in (1, 4):
-                float(jr(length, trainable, opt_state, batch, key))
+                float(jr(length, trainable, frozen, opt_state, batch, key))
             per = []
             for _ in range(2):
                 t0 = time.perf_counter()
-                float(jr(1, trainable, opt_state, batch, key))
+                float(jr(1, trainable, frozen, opt_state, batch, key))
                 t1 = time.perf_counter()
-                float(jr(4, trainable, opt_state, batch, key))
+                float(jr(4, trainable, frozen, opt_state, batch, key))
                 t2 = time.perf_counter()
                 per.append(((t2 - t1) - (t1 - t0)) / 3)
             sec = sorted(per)[len(per) // 2]
