@@ -184,6 +184,10 @@ class PixelDecoderConfig:
     # train step.
     window_radius: float = 4.0
     window_tile: int = 16  # query tile side, window mode
+    # heads processed per lax.map step inside the op; >1 cuts the
+    # sequential (head-chunk x tile) loop count at the cost of a larger
+    # live working set
+    window_head_chunk: int = 1
     # True: tile-scan t1 contraction (eval-optimal fwd); False: one einsum
     # pair (train-optimal bwd). train/train.py flips this to False.
     window_scan_tiles: bool = True

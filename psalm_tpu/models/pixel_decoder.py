@@ -66,6 +66,7 @@ class MSDeformAttnLayer(nn.Module):
     impl: Any = None
     window_radius: float = 8.0
     window_tile: int = 16
+    window_head_chunk: int = 1
     window_scan_tiles: bool = True
     window_fold_points: bool = False
 
@@ -113,6 +114,7 @@ class MSDeformAttnLayer(nn.Module):
             out = ms_deform_attn_window(value, spatial_shapes, loc, attn,
                                         tile=self.window_tile,
                                         radius=self.window_radius,
+                                        head_chunk=self.window_head_chunk,
                                         scan_tiles=self.window_scan_tiles,
                                         fold_points=self.window_fold_points)
         else:
@@ -176,6 +178,7 @@ class EncoderLayer(nn.Module):
                 impl="window" if mode == "window" else None,
                 window_radius=getattr(c, "window_radius", 8.0),
                 window_tile=getattr(c, "window_tile", 16),
+                window_head_chunk=getattr(c, "window_head_chunk", 1),
                 window_scan_tiles=getattr(c, "window_scan_tiles", True),
                 window_fold_points=getattr(c, "window_fold_points", False),
                 name="self_attn")(
