@@ -188,6 +188,9 @@ class PixelDecoderConfig:
     # sequential (head-chunk x tile) loop count at the cost of a larger
     # live working set
     window_head_chunk: int = 1
+    # tile-scan unroll factor: the scan is overhead-bound (~5 us/step);
+    # unrolling amortizes sequencing and pipelines the per-step slices
+    window_scan_unroll: int = 1
     # True: tile-scan t1 contraction (eval-optimal fwd); False: one einsum
     # pair (train-optimal bwd). train/train.py flips this to False.
     window_scan_tiles: bool = True

@@ -68,6 +68,7 @@ class MSDeformAttnLayer(nn.Module):
     window_tile: int = 16
     window_head_chunk: int = 1
     window_scan_tiles: bool = True
+    window_scan_unroll: int = 1
     window_fold_points: bool = False
 
     @nn.compact
@@ -116,6 +117,7 @@ class MSDeformAttnLayer(nn.Module):
                                         radius=self.window_radius,
                                         head_chunk=self.window_head_chunk,
                                         scan_tiles=self.window_scan_tiles,
+                                        scan_unroll=self.window_scan_unroll,
                                         fold_points=self.window_fold_points)
         else:
             out = ms_deform_attn(value, spatial_shapes, loc, attn,
@@ -180,6 +182,7 @@ class EncoderLayer(nn.Module):
                 window_tile=getattr(c, "window_tile", 16),
                 window_head_chunk=getattr(c, "window_head_chunk", 1),
                 window_scan_tiles=getattr(c, "window_scan_tiles", True),
+                window_scan_unroll=getattr(c, "window_scan_unroll", 1),
                 window_fold_points=getattr(c, "window_fold_points", False),
                 name="self_attn")(
                 src + pos, src, reference_points, spatial_shapes)

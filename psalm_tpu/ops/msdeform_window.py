@@ -141,6 +141,7 @@ def ms_deform_attn_window(
     radius: float = 8.0,
     head_chunk: int = 1,
     scan_tiles: bool = True,
+    scan_unroll: int = 1,
     fold_points: bool = False,
 ) -> jnp.ndarray:
     """Windowed MSDeformAttn. Same signature/convention as ms_deform_attn_xla
@@ -235,6 +236,11 @@ def ms_deform_attn_window(
             hc = max(1, min(head_chunk, M))
             while M % hc:
                 hc -= 1
+            # largest unroll factor <= scan_unroll that divides the tile
+            # count (T differs per level: 64/16/4 at 1024^2 tile16)
+            su = max(1, min(int(scan_unroll), T))
+            while T % su:
+                su -= 1
 
             def head_body(ops, wh=wh, ww=ww, nq=nq, Hv=Hv, Wv=Wv, hc=hc):
                 xh_, yh_, awh_, wn = ops  # leading dim hc
@@ -260,7 +266,7 @@ def ms_deform_attn_window(
                     _, out = jax.lax.scan(
                         tile_body2, None,
                         (jnp.moveaxis(Ay, 2, 0), jnp.moveaxis(Ax, 2, 0),
-                         jnp.moveaxis(wn2, 2, 0)))
+                         jnp.moveaxis(wn2, 2, 0)), unroll=su)
                     return jnp.moveaxis(out, 0, 2)  # [hc,B,T,nq,D]
 
                 Ay = _axis_weights(yh_, ry, sy_b, wh, Hv, radius,
@@ -286,10 +292,13 @@ def ms_deform_attn_window(
                     t1 = t1.reshape(hc, B, nq * P, ww, D)
                     return None, (t1 * ax[..., None]).sum(3)
 
+                # unroll: the scan is overhead-bound (~5 us/step at these
+                # shapes); unrolling amortizes loop sequencing and lets XLA
+                # software-pipeline the per-step slice DMAs
                 _, out = jax.lax.scan(
                     tile_body, None,
                     (jnp.moveaxis(Ay, 2, 0), jnp.moveaxis(Ax, 2, 0),
-                     jnp.moveaxis(wn, 2, 0)))
+                     jnp.moveaxis(wn, 2, 0)), unroll=su)
                 return jnp.moveaxis(out, 0, 2)  # [hc, B, T, s, D]
 
             def chunked(a):

@@ -95,21 +95,27 @@ def scan_rate_ms(fn, k=8, reps=3, grad=False):
 #   cost. The op looks LOOP-bound: h1 scan runs 8 heads x 252 tiles = 2016
 #   sequential steps (~5 us/step); this round sweeps head_chunk and tile
 #   on the LEGACY path to cut iteration count.
+# Round 3 of the sweep. Round-2 findings (2026-08-19, v5e, scan-diff):
+#   fwd r8: h1 10.73, h2 9.96 (best, -7%), h4 10.74, h8 11.41; every t32
+#   and einsum variant slower (13-20 ms). fbwd r8: eins h1 50.19 (round-1)
+#   stays the training default — eins h4 66.65 / h8 68.41 regress.
+# This round: lax.scan unroll on the tile loop (the ~5 us/step hypothesis)
+# crossed with the h2 winner.
 VARIANTS = [
-    ("legacy scan h1 r8", dict(radius=8.0, scan_tiles=True)),
-    ("legacy scan h2 r8", dict(radius=8.0, scan_tiles=True, head_chunk=2)),
-    ("legacy scan h4 r8", dict(radius=8.0, scan_tiles=True, head_chunk=4)),
-    ("legacy scan h8 r8", dict(radius=8.0, scan_tiles=True, head_chunk=8)),
-    ("legacy scan h8 r4", dict(radius=4.0, scan_tiles=True, head_chunk=8)),
-    ("legacy t32  h8 r8", dict(radius=8.0, scan_tiles=True, head_chunk=8,
-                               tile=32)),
-    ("legacy t32  h4 r8", dict(radius=8.0, scan_tiles=True, head_chunk=4,
-                               tile=32)),
-    ("legacy t32  h1 r8", dict(radius=8.0, scan_tiles=True, tile=32)),
-    ("legacy eins h4 r8", dict(radius=8.0, scan_tiles=False, head_chunk=4)),
-    ("legacy eins h8 r8", dict(radius=8.0, scan_tiles=False, head_chunk=8)),
-    ("legacy t32e h8 r8", dict(radius=8.0, scan_tiles=False, head_chunk=8,
-                               tile=32)),
+    ("legacy scan h1 r8   ", dict(radius=8.0, scan_tiles=True)),
+    ("legacy scan h2 r8   ", dict(radius=8.0, scan_tiles=True, head_chunk=2)),
+    ("legacy scan h1 r8 u4", dict(radius=8.0, scan_tiles=True,
+                                  scan_unroll=4)),
+    ("legacy scan h1 r8 u8", dict(radius=8.0, scan_tiles=True,
+                                  scan_unroll=8)),
+    ("legacy scan h1 r8 u16", dict(radius=8.0, scan_tiles=True,
+                                   scan_unroll=16)),
+    ("legacy scan h2 r8 u4", dict(radius=8.0, scan_tiles=True, head_chunk=2,
+                                  scan_unroll=4)),
+    ("legacy scan h2 r8 u8", dict(radius=8.0, scan_tiles=True, head_chunk=2,
+                                  scan_unroll=8)),
+    ("legacy scan h2 r4 u8", dict(radius=4.0, scan_tiles=True, head_chunk=2,
+                                  scan_unroll=8)),
 ]
 
 print(f"shapes {SHAPES} S={S} M={M} D={D} P={P}  (device scan-diff ms/op)")
@@ -125,8 +131,9 @@ for name, kw in VARIANTS:
               flush=True)
 
 for name, kw in VARIANTS:
-    if "eins" not in name and "r4" not in name:
-        continue  # bwd only matters for the train-relevant einsum variants
+    if not any(k in name for k in ("eins", "r4", " u")):
+        continue  # bwd for train-relevant variants (einsum baseline won
+        # round 1 at 50.19 ms; unrolled scan is the new challenger)
     fn = functools.partial(ms_deform_attn_window, spatial_shapes=SHAPES, **kw)
     f = lambda v, l, a, fn=fn: fn(v, sampling_locations=l,
                                   attention_weights=a)
