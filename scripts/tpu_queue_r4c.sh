@@ -7,6 +7,10 @@ cd /root/repo
 W=scripts/tpu_probe_wait.sh
 
 bash $W || exit 1
+echo "=== window variant sweep round 3 (scan_unroll) ==="
+timeout 3600 python scripts/bench_window_variants.py 2>&1
+
+bash $W || exit 1
 echo "=== train B=1 full_step + train_rate + crit grad stages ==="
 timeout 3600 env PSALM_TB_STAGES=full_step,train_rate,crit_fwd_bwd,crit_final_only \
   python scripts/bench_train_breakdown.py 1 2>&1
