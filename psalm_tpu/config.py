@@ -186,8 +186,11 @@ class PixelDecoderConfig:
     window_tile: int = 16  # query tile side, window mode
     # heads processed per lax.map step inside the op; >1 cuts the
     # sequential (head-chunk x tile) loop count at the cost of a larger
-    # live working set
-    window_head_chunk: int = 1
+    # live working set. h2 measured fastest forward (round-4 sweeps:
+    # 9.96-10.22 ms/op vs 10.54-10.73 at h1, r8 encoder shapes); training
+    # overrides to 1 — head chunking regresses the einsum backward
+    # (train/train.py).
+    window_head_chunk: int = 2
     # tile-scan unroll factor: the scan is overhead-bound (~5 us/step);
     # unrolling amortizes sequencing and pipelines the per-step slices
     window_scan_unroll: int = 1

@@ -102,14 +102,29 @@ class WindowAttention(nn.Module):
             ((2 * self.window_size - 1) ** 2, h),
         )
         # The bias expansion is a STATIC-index gather of N*N rows; XLA's TPU
-        # gather is loop-bound (~300 ns/row), so express it as a constant
-        # one-hot matmul instead — MXU does it for free.
-        rel_idx = _relative_position_index(self.window_size).reshape(-1)
-        onehot = np.zeros((rel_idx.size, bias_table.shape[0]), np.float32)
-        onehot[np.arange(rel_idx.size), rel_idx] = 1.0
-        bias = jnp.asarray(onehot) @ bias_table.astype(jnp.float32)
-        bias = bias.reshape(N, N, h)
-        bias = jnp.transpose(bias, (2, 0, 1))  # [h, N, N]
+        # gather is loop-bound (~300 ns/row). A flat one-hot matmul fixes
+        # that but materializes an [N^2, (2w-1)^2] constant (44 MB f32 at
+        # w=12) that every block re-reads from HBM at runtime (the table is
+        # a jit ARGUMENT, so nothing constant-folds). The bias is Toeplitz
+        # in (dy, dx), so it factors into two per-axis one-hot matmuls over
+        # [w^2, 2w-1] constants (~13 KB each):
+        #   bias[(y1,x1),(y2,x2)] = T2[y1-y2+w-1, x1-x2+w-1]
+        ws = self.window_size
+        nb = 2 * ws - 1
+        ar = np.arange(ws)
+        d = (ar[:, None] - ar[None, :] + ws - 1).reshape(-1)  # [ws*ws] pairs
+        axis_onehot = np.zeros((ws * ws, nb), np.float32)
+        axis_onehot[np.arange(ws * ws), d] = 1.0
+        A = jnp.asarray(axis_onehot)
+        # rel_index = (dy+w-1)*(2w-1) + (dx+w-1), so table.reshape(nb, nb)
+        # is indexed [dy-bucket, dx-bucket] (_relative_position_index)
+        t2 = bias_table.astype(jnp.float32).reshape(nb, nb * h)
+        u = (A @ t2).reshape(ws * ws, nb, h)          # [y-pair, dx-bucket, h]
+        u = jnp.transpose(u, (1, 0, 2)).reshape(nb, ws * ws * h)
+        bias = (A @ u).reshape(ws * ws, ws * ws, h)   # [x-pair, y-pair, h]
+        # pair index p = i1*ws + i2; reorder to [(y1,x1), (y2,x2)]
+        bias = bias.reshape(ws, ws, ws, ws, h)        # [x1, x2, y1, y2, h]
+        bias = jnp.transpose(bias, (4, 2, 0, 3, 1)).reshape(h, N, N)
         attn = attn + bias[None].astype(attn.dtype)
 
         if mask is not None:

@@ -145,6 +145,10 @@ class Trainer:
                     # einsum-pair formulation: its backward parallelizes
                     # better than the tile-scan's sequential VJP
                     kw["window_scan_tiles"] = False
+                    # head chunking regresses the einsum backward (r4 sweep:
+                    # fbwd 50.2 ms at h1 vs 66.7/68.4 at h4/h8); the eval
+                    # default h2 is a forward-only win
+                    kw["window_head_chunk"] = 1
                 if mode == "dense":
                     kw["transformer_nheads"] = 2
                 cfg = cfg.replace(pixel_decoder=_dc.replace(

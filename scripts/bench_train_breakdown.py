@@ -87,6 +87,7 @@ def main():
     cfg = cfg.replace(
         pixel_decoder=dataclasses.replace(
             cfg.pixel_decoder, attention_mode="window", window_radius=RADIUS,
+            window_head_chunk=1,  # train setting: h>1 regresses the bwd
             window_scan_tiles=os.environ.get("PSALM_TB_SCAN", "0") == "1"),
         phi=dataclasses.replace(cfg.phi, lora_rank=8))
     K = cfg.num_classes + 1
