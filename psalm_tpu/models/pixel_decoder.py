@@ -119,6 +119,12 @@ class MSDeformAttnLayer(nn.Module):
                                         scan_tiles=self.window_scan_tiles,
                                         scan_unroll=self.window_scan_unroll,
                                         fold_points=self.window_fold_points)
+        elif self.impl == "window_pallas3":
+            from psalm_tpu.ops.msdeform_window_pallas3 import (
+                ms_deform_attn_window_pallas3)
+            out = ms_deform_attn_window_pallas3(
+                value, spatial_shapes, loc, attn, tile=self.window_tile,
+                radius=self.window_radius)
         else:
             out = ms_deform_attn(value, spatial_shapes, loc, attn,
                                  impl=self.impl)
@@ -177,7 +183,7 @@ class EncoderLayer(nn.Module):
             src2 = MSDeformAttnLayer(
                 c.conv_dim, c.num_feature_levels, c.transformer_nheads,
                 c.enc_points, dtype=self.dtype,
-                impl="window" if mode == "window" else None,
+                impl=mode if mode in ("window", "window_pallas3") else None,
                 window_radius=getattr(c, "window_radius", 8.0),
                 window_tile=getattr(c, "window_tile", 16),
                 window_head_chunk=getattr(c, "window_head_chunk", 1),

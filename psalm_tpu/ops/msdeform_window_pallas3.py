@@ -153,9 +153,13 @@ def ms_deform_attn_window_pallas3(
     tile: int = 8,
     radius: float = 8.0,
     xstage: str = "sum3d",
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Same signature/convention as ms_deform_attn_window (encoder Q == S)."""
+    if interpret is None:  # Mosaic is TPU-only; interpret on CPU (tests).
+        # The tunneled TPU backend reports platform "axon", so test for CPU
+        # rather than for "tpu".
+        interpret = jax.default_backend() == "cpu"
     B, S, M, D = value.shape
     _, Q, _, L, P, _ = sampling_locations.shape
     spatial_shapes = tuple(tuple(s) for s in spatial_shapes)
