@@ -216,7 +216,7 @@ def ms_deform_attn_window_pallas3(
             num_scalar_prefetch=2,
             grid=(T,),
             in_specs=(
-                [pl.BlockSpec(memory_space=pltpu.ANY) for _ in range(L)]
+                [pl.BlockSpec(memory_space=pl.ANY) for _ in range(L)]
                 + [pl.BlockSpec((1, nq, M, L, P, 2),
                                 lambda i, *_: (i, 0, 0, 0, 0, 0)),
                    pl.BlockSpec((1, nq, M, L, P),
