@@ -86,3 +86,40 @@ ln = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)
 lp = jax.jit(ln.init)(jax.random.PRNGKey(9), x0)
 lms = scan_rate_ms(jax.jit(ln.apply), lp, x0)
 print(f"stage0 layernorm (f32)        {lms:8.2f} ms")
+
+# the pieces outside the blocks: patchify conv, patch mergings, out-norms
+pe = nn.Conv(sc.embed_dim, kernel_size=(4, 4), strides=(4, 4), dtype=dt)
+pep = jax.jit(pe.init)(jax.random.PRNGKey(10), img)
+pems = scan_rate_ms(jax.jit(pe.apply), pep, img)
+print(f"patchify conv 4x4/4           {pems:8.2f} ms")
+
+
+def patchify_matmul(p, im):
+    B_, H_, W_, _ = im.shape
+    x = im.reshape(B_, H_ // 4, 4, W_ // 4, 4, 3)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(B_, -1, 48)
+    k = p["params"]["kernel"].reshape(48, sc.embed_dim).astype(dt)
+    return x.astype(dt) @ k + p["params"]["bias"].astype(dt)
+
+
+pmms = scan_rate_ms(jax.jit(patchify_matmul), pep, img)
+print(f"patchify as im2row matmul     {pmms:8.2f} ms")
+
+from psalm_tpu.models.swin import PatchMerging
+for i in range(3):
+    H = W = res[i]
+    xm = jnp.asarray(rng.randn(B, H * W, dims[i]), dt)
+    pmod = PatchMerging(dims[i], dtype=dt)
+    pp2 = jax.jit(lambda r, x_, pmod=pmod, H=H, W=W: pmod.init(r, x_, H, W))(
+        jax.random.PRNGKey(11 + i), xm)
+    f2 = jax.jit(lambda p, x_, pmod=pmod, H=H, W=W: pmod.apply(p, x_, H, W))
+    print(f"patch merging {i} ({H}x{W}x{dims[i]})  "
+          f"{scan_rate_ms(f2, pp2, xm):8.2f} ms")
+
+for i in range(4):
+    H = W = res[i]
+    xo = jnp.asarray(rng.randn(B, H * W, dims[i]), dt)
+    lno = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)
+    lpo = jax.jit(lno.init)(jax.random.PRNGKey(20 + i), xo)
+    print(f"out-norm{i} ({H * W}x{dims[i]})        "
+          f"{scan_rate_ms(jax.jit(lno.apply), lpo, xo):8.2f} ms")
