@@ -83,8 +83,8 @@ def _level_kernel(sy_ref, sx_ref, *refs, Hq, Wq, thq, twq, plans, shapes,
             x = loc_ref[0, :, h, lv, :, 0] * Wv - 0.5   # [nq, P] f32
             y = loc_ref[0, :, h, lv, :, 1] * Hv - 0.5
             aw = attn_ref[0, :, h, lv, :]               # [nq, P] f32
-            ry = refy_ref[lv, 0, :][:, None]            # [nq, 1]
-            rx = refx_ref[lv, 0, :][:, None]
+            ry = refy_ref[0, lv, :][:, None]            # [nq, 1]
+            rx = refx_ref[0, lv, :][:, None]
             sy = sy_ref[lv, i]
             sx = sx_ref[lv, i]
 
@@ -204,8 +204,10 @@ def ms_deform_attn_window_pallas3(
             refx_np.append(rx)
         sy_arr = jnp.asarray(np.stack(sy_np))            # [L, T] int32
         sx_arr = jnp.asarray(np.stack(sx_np))
-        refy_arr = jnp.asarray(np.stack(refy_np))        # [L, T, nq] f32
-        refx_arr = jnp.asarray(np.stack(refx_np))
+        # [T, L, nq] so the per-tile block (1, L, nq) keeps its last two
+        # dims equal to the overall dims (Mosaic's (8,128) block rule).
+        refy_arr = jnp.asarray(np.stack(refy_np, axis=1))
+        refx_arr = jnp.asarray(np.stack(refx_np, axis=1))
 
         kern = functools.partial(
             _level_kernel, Hq=Hq, Wq=Wq, thq=thq, twq=twq,
@@ -221,8 +223,8 @@ def ms_deform_attn_window_pallas3(
                                 lambda i, *_: (i, 0, 0, 0, 0, 0)),
                    pl.BlockSpec((1, nq, M, L, P),
                                 lambda i, *_: (i, 0, 0, 0, 0)),
-                   pl.BlockSpec((L, 1, nq), lambda i, *_: (0, i, 0)),
-                   pl.BlockSpec((L, 1, nq), lambda i, *_: (0, i, 0))]),
+                   pl.BlockSpec((1, L, nq), lambda i, *_: (i, 0, 0)),
+                   pl.BlockSpec((1, L, nq), lambda i, *_: (i, 0, 0))]),
             out_specs=pl.BlockSpec((1, nq, M * D), lambda i, *_: (i, 0, 0)),
             scratch_shapes=(
                 [pltpu.VMEM((2, plans[lv][0], plans[lv][2], D), dt)
