@@ -58,7 +58,12 @@ def _build(mode: str, radius: float):
     cfg = PSALMConfig(compute_dtype="bfloat16")
     pd_kw = dict(attention_mode=mode)
     if mode == "window":
-        pd_kw["window_radius"] = radius
+        if isinstance(radius, tuple):
+            # per-point clamp radii (config.window_point_radii): (2,4,6,8)
+            # matches flat r8's 2x-init safety margin point-by-point
+            pd_kw["window_point_radii"] = radius
+        else:
+            pd_kw["window_radius"] = radius
     cfg = cfg.replace(pixel_decoder=dataclasses.replace(
         cfg.pixel_decoder, **pd_kw))
     K = cfg.num_classes + 1
@@ -275,7 +280,13 @@ def main():
     primary = None
     for m in modes:
         m = m.strip()
-        if m.startswith("window"):
+        if m.startswith("windowpp"):
+            # per-point radii: "windowpp" = (2,4,6,8); "windowpp1,2,3,4" etc.
+            spec = m[len("windowpp"):] or "2,4,6,8"
+            radius = tuple(float(v) for v in spec.split(","))
+            r = measure_mode("window", radius)
+            key = "window_pp" + "_".join(str(int(v)) for v in radius)
+        elif m.startswith("window"):
             radius = float(m[len("window"):] or 8)
             r = measure_mode("window", radius)
             key = f"window_r{int(radius)}"

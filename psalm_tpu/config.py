@@ -183,6 +183,15 @@ class PixelDecoderConfig:
     # for offset-growth headroom — there is no runtime guard inside a
     # train step.
     window_radius: float = 4.0
+    # Per-POINT clamp radii (overrides window_radius when non-empty; length
+    # enc_points). The offset head's init bias magnitude is exactly (p+1) px
+    # for point p (ms_deform_attn.py:66-74), so (2, 4, 6, 8) gives EVERY
+    # point a 2x-init margin — the same safety policy flat r=8 applies only
+    # to the largest point — while window width (t-1)f + 2r_p + 3 shrinks
+    # for the first three points (~25% less stage-1 matmul work at 1024^2).
+    # The EvalRunner clamp telemetry + auto-raise guards trained checkpoints
+    # exactly as for the flat radius (raising falls back to a flat radius).
+    window_point_radii: Tuple[float, ...] = ()
     window_tile: int = 16  # query tile side, window mode
     # heads processed per lax.map step inside the op; >1 cuts the
     # sequential (head-chunk x tile) loop count at the cost of a larger

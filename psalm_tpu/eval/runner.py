@@ -207,7 +207,8 @@ class EvalRunner:
         else:  # accumulate worst-case over the run
             self.window_stats = {
                 k: max(self.window_stats[k], stats[k]) for k in stats}
-        radius = self.cfg.pixel_decoder.window_radius
+        radius = (tuple(self.cfg.pixel_decoder.window_point_radii)
+                  or self.cfg.pixel_decoder.window_radius)
         frac = stats["max_clamp_frac"]
         max_off = stats["max_offset_px"]
         if self._batches_seen == 0:
@@ -225,8 +226,11 @@ class EvalRunner:
             print(f"raising window radius {radius} -> {new_radius} to cover "
                   f"the measured offsets (clamp rate was {frac:.2e})",
                   file=sys.stderr)
+            # per-point radii (if any) fall back to one flat covering radius:
+            # the telemetry measures the global max, not per-point maxima
             self.cfg = self.cfg.replace(pixel_decoder=dataclasses.replace(
-                self.cfg.pixel_decoder, window_radius=new_radius))
+                self.cfg.pixel_decoder, window_radius=new_radius,
+                window_point_radii=()))
         else:
             print(f"offsets reach {max_off:.1f} px; falling back to the "
                   "unclamped deformable parity path", file=sys.stderr)

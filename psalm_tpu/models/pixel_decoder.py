@@ -64,7 +64,9 @@ class MSDeformAttnLayer(nn.Module):
     # None = dispatcher default; "window" = locality-window MXU formulation
     # (ops/msdeform_window.py) with offsets clamped to ±window_radius px.
     impl: Any = None
-    window_radius: float = 8.0
+    # float, or a length-n_points tuple of per-point radii (config.py
+    # window_point_radii; ops/msdeform_window.py module docstring)
+    window_radius: Any = 8.0
     window_tile: int = 16
     window_head_chunk: int = 1
     window_scan_tiles: bool = True
@@ -106,8 +108,12 @@ class MSDeformAttnLayer(nn.Module):
         # sow() is free unless the caller makes "intermediates" mutable.
         absoff = jnp.abs(offsets.astype(jnp.float32))
         self.sow("intermediates", "offset_max", jnp.max(absoff))
+        rad = self.window_radius
+        rad_vec = jnp.asarray(
+            rad if isinstance(rad, (tuple, list)) else [float(rad)] * P,
+            jnp.float32)[None, None, None, None, :, None]  # per-point
         self.sow("intermediates", "offset_clamp_frac",
-                 jnp.mean(jnp.any(absoff > self.window_radius, axis=-1)
+                 jnp.mean(jnp.any(absoff > rad_vec, axis=-1)
                           .astype(jnp.float32)))
 
         if self.impl == "window":
@@ -124,7 +130,9 @@ class MSDeformAttnLayer(nn.Module):
                 ms_deform_attn_window_pallas3)
             out = ms_deform_attn_window_pallas3(
                 value, spatial_shapes, loc, attn, tile=self.window_tile,
-                radius=self.window_radius)
+                radius=(max(self.window_radius)
+                        if isinstance(self.window_radius, (tuple, list))
+                        else self.window_radius))
         else:
             out = ms_deform_attn(value, spatial_shapes, loc, attn,
                                  impl=self.impl)
@@ -184,7 +192,9 @@ class EncoderLayer(nn.Module):
                 c.conv_dim, c.num_feature_levels, c.transformer_nheads,
                 c.enc_points, dtype=self.dtype,
                 impl=mode if mode in ("window", "window_pallas3") else None,
-                window_radius=getattr(c, "window_radius", 8.0),
+                window_radius=(tuple(c.window_point_radii)
+                               if getattr(c, "window_point_radii", ())
+                               else getattr(c, "window_radius", 8.0)),
                 window_tile=getattr(c, "window_tile", 16),
                 window_head_chunk=getattr(c, "window_head_chunk", 1),
                 window_scan_tiles=getattr(c, "window_scan_tiles", True),

@@ -39,6 +39,16 @@ The deformable-DETR offset head is zero-init with bias magnitudes ≤ n_points
 (models/pixel_decoder.py::_offset_bias_init), so radius=8 covers init and a
 wide training margin; it is configurable per call and via the dispatcher.
 
+Per-POINT radii (``radius`` as a length-P sequence): the init bias magnitude
+is exactly (p+1) px for point p (ms_deform_attn.py:66-74 scales the unit
+direction by point index), so radii (2, 4, 6, 8) give EVERY point the same
+2x-init safety margin that flat r=8 gives only the largest point — while the
+window width w = (t-1)·f + 2·r_p + 3 shrinks for the first three points.
+Stage-1 matmul work is linear in Σ_p w_p² instead of P·w_max², a ~30% cut at
+the 1024² encoder shapes. Points with equal radii share one window slab and
+one matmul group (consecutive-run grouping), so a flat radius compiles to
+exactly the old single-group program.
+
 Decoder-style calls (Q != S) fall back to the oracle — PSALM only uses
 MSDeformAttn in the encoder, where Q == S always holds.
 """
@@ -138,7 +148,7 @@ def ms_deform_attn_window(
     attention_weights: jnp.ndarray,
     *,
     tile: int = 16,
-    radius: float = 8.0,
+    radius=8.0,
     head_chunk: int = 1,
     scan_tiles: bool = True,
     scan_unroll: int = 1,
@@ -147,6 +157,11 @@ def ms_deform_attn_window(
     """Windowed MSDeformAttn. Same signature/convention as ms_deform_attn_xla
     (value [B,S,M,D], locations [B,Q,M,L,P,2] in [0,1], weights [B,Q,M,L,P]);
     requires the encoder case Q == S (falls back to the oracle otherwise).
+
+    radius: a float (one clamp radius for all P sampling points) or a
+    length-P sequence of per-point radii (module docstring) — consecutive
+    points with equal radii share a window slab and matmul group, so a flat
+    radius compiles to the original single-group program.
 
     scan_tiles: True (eval-optimal) scans window tiles so the t1 = Ay @ win
     intermediate is a small reused buffer (faster forward, 9.75 vs 11.2 ms
@@ -174,7 +189,19 @@ def ms_deform_attn_window(
         return _base.ms_deform_attn_xla(value, spatial_shapes,
                                         sampling_locations, attention_weights)
     dt = value.dtype
-    radius = float(radius)
+    if isinstance(radius, (tuple, list, np.ndarray)):
+        radii = tuple(float(r) for r in radius)
+        if len(radii) != P:
+            raise ValueError(f"per-point radii: got {len(radii)}, P={P}")
+    else:
+        radii = (float(radius),) * P
+    # consecutive-run grouping: (p_start, p_end, radius)
+    pgroups = []
+    g0 = 0
+    for p in range(1, P + 1):
+        if p == P or radii[p] != radii[g0]:
+            pgroups.append((g0, p, radii[g0]))
+            g0 = p
 
     lvl_start = []
     s0 = 0
@@ -202,11 +229,6 @@ def ms_deform_attn_window(
 
         acc = None
         for lvi, (Hv, Wv) in enumerate(spatial_shapes):
-            wh, sy = _axis_plan(Ty, thq, Hv, Hq, Hv, radius)
-            ww, sx = _axis_plan(Tx, twq, Wv, Wq, Wv, radius)
-            starts = np.stack(np.meshgrid(np.asarray(sy, np.int32),
-                                          np.asarray(sx, np.int32),
-                                          indexing="ij"), -1).reshape(-1, 2)
             refy, refx = _ref_grid(Hq, Wq, thq, twq, Hv, Wv)
 
             v0 = lvl_start[lvi]
@@ -214,104 +236,29 @@ def ms_deform_attn_window(
             # windows) so window extraction needs no big relayout
             vlv = value[:, v0:v0 + Hv * Wv].reshape(B, Hv, Wv, M, D)
             vh = jnp.moveaxis(vlv, 3, 0)                      # [M,B,Hv,Wv,D]
-            st = jnp.asarray(starts)
-            win = jax.vmap(jax.vmap(lambda vb: jax.vmap(
-                lambda s: jax.lax.dynamic_slice(
-                    vb, (s[0], s[1], 0), (wh, ww, D)))(st)))(vh)
-            win = win.reshape(M, B, T, wh, ww * D)
+            rx = jnp.asarray(refx)[None, :, :, None]          # [1,T,nq,1]
+            ry = jnp.asarray(refy)[None, :, :, None]
 
             # per-head coords (small transposes) — Ax/Ay are built inside the
             # head-mapped body so only one head's weight matrices are live
-            x = loc_q[..., lvi, :, 0] * Wv - 0.5              # [B,T,nq,M,P]
-            y = loc_q[..., lvi, :, 1] * Hv - 0.5
-            aw = attn_q[..., lvi, :].astype(dt)
-            xh = jnp.moveaxis(x, 3, 0)                        # [M,B,T,nq,P]
-            yh = jnp.moveaxis(y, 3, 0)
-            awh = jnp.moveaxis(aw, 3, 0)
-            rx = jnp.asarray(refx)[None, :, :, None]          # [1,T,nq,1]
-            ry = jnp.asarray(refy)[None, :, :, None]
-            sx_b = jnp.asarray(starts[:, 1])[None, :, None, None]
-            sy_b = jnp.asarray(starts[:, 0])[None, :, None, None]
+            x_all = loc_q[..., lvi, :, 0] * Wv - 0.5          # [B,T,nq,M,P]
+            y_all = loc_q[..., lvi, :, 1] * Hv - 0.5
+            aw_all = attn_q[..., lvi, :].astype(dt)
 
             hc = max(1, min(head_chunk, M))
             while M % hc:
                 hc -= 1
-            # largest unroll factor <= scan_unroll that divides the tile
-            # count (T differs per level: 64/16/4 at 1024^2 tile16)
-            su = max(1, min(int(scan_unroll), T))
-            while T % su:
-                su -= 1
 
-            def head_body(ops, wh=wh, ww=ww, nq=nq, Hv=Hv, Wv=Wv, hc=hc):
-                xh_, yh_, awh_, wn = ops  # leading dim hc
-                if fold_points:
-                    # [hc,B,T,nq,P,wh/ww]; attention folded into Ax
-                    Ay = _axis_weights(yh_, ry, sy_b, wh, Hv, radius,
-                                       None, dt)
-                    Ax = _axis_weights(xh_, rx, sx_b, ww, Wv, radius,
-                                       awh_.astype(dt), dt)
-                    wn2 = wn.reshape(hc, B, T, wh * ww, D)
-
-                    if not scan_tiles:
-                        a2 = jnp.einsum("cbtqpy,cbtqpx->cbtqyx", Ay, Ax)
-                        a2 = a2.reshape(hc, B, T, nq, wh * ww)
-                        return jnp.einsum("cbtqk,cbtkd->cbtqd", a2, wn2)
-
-                    def tile_body2(_, ops_t):
-                        ay, ax, wnl = ops_t  # [hc,B,nq,P,wh/ww], [hc,B,whww,D]
-                        a2 = jnp.einsum("cbqpy,cbqpx->cbqyx", ay, ax)
-                        a2 = a2.reshape(hc, B, nq, wh * ww)
-                        return None, jnp.einsum("cbqk,cbkd->cbqd", a2, wnl)
-
-                    _, out = jax.lax.scan(
-                        tile_body2, None,
-                        (jnp.moveaxis(Ay, 2, 0), jnp.moveaxis(Ax, 2, 0),
-                         jnp.moveaxis(wn2, 2, 0)), unroll=su)
-                    return jnp.moveaxis(out, 0, 2)  # [hc,B,T,nq,D]
-
-                Ay = _axis_weights(yh_, ry, sy_b, wh, Hv, radius,
-                                   None, dt).reshape(hc, B, T, nq * P, wh)
-                Ax = _axis_weights(xh_, rx, sx_b, ww, Wv, radius,
-                                   awh_.astype(dt), dt).reshape(
-                    hc, B, T, nq * P, ww)
-
-                if not scan_tiles:
-                    # einsum pair: better-parallelizing backward (training)
-                    t1 = jnp.einsum("cbtsh,cbthk->cbtsk", Ay, wn)
-                    t1 = t1.reshape(hc, B, T, nq * P, ww, D)
-                    return jnp.einsum("cbtsw,cbtswd->cbtsd", Ax, t1)
-
-                # scan tiles: the t1 = Ay @ win intermediate per step is a
-                # ~2 MB buffer XLA reuses across iterations instead of one
-                # T-times-larger HBM round trip (25% faster measured on
-                # v5e); the x-contraction as mult+sum fuses into the small
-                # per-tile consumer
-                def tile_body(_, ops_t):
-                    ay, ax, wnl = ops_t  # [hc,B,s,wh], [hc,B,s,ww], [hc,B,wh,wwD]
-                    t1 = jnp.einsum("cbsh,cbhk->cbsk", ay, wnl)
-                    t1 = t1.reshape(hc, B, nq * P, ww, D)
-                    return None, (t1 * ax[..., None]).sum(3)
-
-                # unroll: the scan is overhead-bound (~5 us/step at these
-                # shapes); unrolling amortizes loop sequencing and lets XLA
-                # software-pipeline the per-step slice DMAs
-                _, out = jax.lax.scan(
-                    tile_body, None,
-                    (jnp.moveaxis(Ay, 2, 0), jnp.moveaxis(Ax, 2, 0),
-                     jnp.moveaxis(wn, 2, 0)), unroll=su)
-                return jnp.moveaxis(out, 0, 2)  # [hc, B, T, s, D]
-
-            def chunked(a):
-                return a.reshape((M // hc, hc) + a.shape[1:])
-
-            outh = jax.lax.map(jax.checkpoint(head_body),
-                               (chunked(xh), chunked(yh), chunked(awh),
-                                chunked(win)))
-            outh = outh.reshape((M,) + outh.shape[2:])
-            if fold_points:               # P summed inside the 2-D stencil
-                contrib = outh            # [M,B,T,nq,D]
-            else:
-                contrib = outh.reshape(M, B, T, nq, P, D).sum(4)
+            contribs = []
+            for (p0, p1, rad) in pgroups:
+                contribs.append(_level_group(
+                    vh, x_all[..., p0:p1], y_all[..., p0:p1],
+                    aw_all[..., p0:p1], rx, ry,
+                    Ty, thq, Tx, twq, Hq, Wq, Hv, Wv, rad, hc,
+                    scan_tiles, scan_unroll, fold_points, dt))
+            contrib = contribs[0]
+            for c in contribs[1:]:
+                contrib = contrib + c
             acc = contrib if acc is None else acc + contrib
 
         o = jnp.transpose(acc, (1, 2, 3, 0, 4))              # [B,T,nq,M,D]
@@ -320,6 +267,114 @@ def ms_deform_attn_window(
         outs.append(o)
 
     return jnp.concatenate(outs, axis=1).astype(dt)
+
+
+def _level_group(vh, x, y, aw, rx, ry, Ty, thq, Tx, twq, Hq, Wq, Hv, Wv,
+                 radius, hc, scan_tiles, scan_unroll, fold_points, dt):
+    """One (query-level, value-level, point-group) contribution [M,B,T,nq,D].
+
+    vh: head-major value level [M,B,Hv,Wv,D]; x/y: target-level pixel coords
+    [B,T,nq,M,Pg]; aw: attention weights, same shape; rx/ry: static reference
+    coords [1,T,nq,1]. The window slab, axis plans, and clamp all use this
+    group's ``radius``.
+    """
+    M, B_, Hv_, Wv_, D = vh.shape
+    B = x.shape[0]
+    T, nq = Ty * Tx, thq * twq
+    P = x.shape[-1]
+
+    wh, sy = _axis_plan(Ty, thq, Hv, Hq, Hv, radius)
+    ww, sx = _axis_plan(Tx, twq, Wv, Wq, Wv, radius)
+    starts = np.stack(np.meshgrid(np.asarray(sy, np.int32),
+                                  np.asarray(sx, np.int32),
+                                  indexing="ij"), -1).reshape(-1, 2)
+    st = jnp.asarray(starts)
+    win = jax.vmap(jax.vmap(lambda vb: jax.vmap(
+        lambda s: jax.lax.dynamic_slice(
+            vb, (s[0], s[1], 0), (wh, ww, D)))(st)))(vh)
+    win = win.reshape(M, B_, T, wh, ww * D)
+
+    xh = jnp.moveaxis(x, 3, 0)                        # [M,B,T,nq,P]
+    yh = jnp.moveaxis(y, 3, 0)
+    awh = jnp.moveaxis(aw, 3, 0)
+    sx_b = jnp.asarray(starts[:, 1])[None, :, None, None]
+    sy_b = jnp.asarray(starts[:, 0])[None, :, None, None]
+
+    # largest unroll factor <= scan_unroll that divides the tile
+    # count (T differs per level: 64/16/4 at 1024^2 tile16)
+    su = max(1, min(int(scan_unroll), T))
+    while T % su:
+        su -= 1
+
+    def head_body(ops, wh=wh, ww=ww, nq=nq, Hv=Hv, Wv=Wv, hc=hc):
+        xh_, yh_, awh_, wn = ops  # leading dim hc
+        if fold_points:
+            # [hc,B,T,nq,P,wh/ww]; attention folded into Ax
+            Ay = _axis_weights(yh_, ry, sy_b, wh, Hv, radius,
+                               None, dt)
+            Ax = _axis_weights(xh_, rx, sx_b, ww, Wv, radius,
+                               awh_.astype(dt), dt)
+            wn2 = wn.reshape(hc, B, T, wh * ww, D)
+
+            if not scan_tiles:
+                a2 = jnp.einsum("cbtqpy,cbtqpx->cbtqyx", Ay, Ax)
+                a2 = a2.reshape(hc, B, T, nq, wh * ww)
+                return jnp.einsum("cbtqk,cbtkd->cbtqd", a2, wn2)
+
+            def tile_body2(_, ops_t):
+                ay, ax, wnl = ops_t  # [hc,B,nq,P,wh/ww], [hc,B,whww,D]
+                a2 = jnp.einsum("cbqpy,cbqpx->cbqyx", ay, ax)
+                a2 = a2.reshape(hc, B, nq, wh * ww)
+                return None, jnp.einsum("cbqk,cbkd->cbqd", a2, wnl)
+
+            _, out = jax.lax.scan(
+                tile_body2, None,
+                (jnp.moveaxis(Ay, 2, 0), jnp.moveaxis(Ax, 2, 0),
+                 jnp.moveaxis(wn2, 2, 0)), unroll=su)
+            return jnp.moveaxis(out, 0, 2)  # [hc,B,T,nq,D]
+
+        Ay = _axis_weights(yh_, ry, sy_b, wh, Hv, radius,
+                           None, dt).reshape(hc, B, T, nq * P, wh)
+        Ax = _axis_weights(xh_, rx, sx_b, ww, Wv, radius,
+                           awh_.astype(dt), dt).reshape(
+            hc, B, T, nq * P, ww)
+
+        if not scan_tiles:
+            # einsum pair: better-parallelizing backward (training)
+            t1 = jnp.einsum("cbtsh,cbthk->cbtsk", Ay, wn)
+            t1 = t1.reshape(hc, B, T, nq * P, ww, D)
+            return jnp.einsum("cbtsw,cbtswd->cbtsd", Ax, t1)
+
+        # scan tiles: the t1 = Ay @ win intermediate per step is a
+        # ~2 MB buffer XLA reuses across iterations instead of one
+        # T-times-larger HBM round trip (25% faster measured on
+        # v5e); the x-contraction as mult+sum fuses into the small
+        # per-tile consumer
+        def tile_body(_, ops_t):
+            ay, ax, wnl = ops_t  # [hc,B,s,wh], [hc,B,s,ww], [hc,B,wh,wwD]
+            t1 = jnp.einsum("cbsh,cbhk->cbsk", ay, wnl)
+            t1 = t1.reshape(hc, B, nq * P, ww, D)
+            return None, (t1 * ax[..., None]).sum(3)
+
+        # unroll: the scan is overhead-bound (~5 us/step at these
+        # shapes); unrolling amortizes loop sequencing and lets XLA
+        # software-pipeline the per-step slice DMAs
+        _, out = jax.lax.scan(
+            tile_body, None,
+            (jnp.moveaxis(Ay, 2, 0), jnp.moveaxis(Ax, 2, 0),
+             jnp.moveaxis(wn, 2, 0)), unroll=su)
+        return jnp.moveaxis(out, 0, 2)  # [hc, B, T, s, D]
+
+    def chunked(a):
+        return a.reshape((M // hc, hc) + a.shape[1:])
+
+    outh = jax.lax.map(jax.checkpoint(head_body),
+                       (chunked(xh), chunked(yh), chunked(awh),
+                        chunked(win)))
+    outh = outh.reshape((M,) + outh.shape[2:])
+    if fold_points:                   # P summed inside the 2-D stencil
+        return outh                   # [M,B,T,nq,D]
+    return outh.reshape(M, B, T, nq, P, D).sum(4)
 
 
 _base.register_impl("window", ms_deform_attn_window)

@@ -88,6 +88,14 @@ def parse_args(argv=None):
                         "attention, 2 heads) is a from-scratch alternative. "
                         "Both avoid the loop-bound gather/scatter that makes "
                         "plain 'deformable' 51 s/step at 1024^2 on v5e")
+    p.add_argument("--window_point_radii", default="",
+                   help="comma-separated per-point clamp radii for window "
+                        "mode, e.g. '2,4,6,8' (= the same 2x-init margin "
+                        "per point that flat r=8 gives the largest point, "
+                        "~25%% less sampler matmul work). Default '' keeps "
+                        "the flat --window_radius: training has no runtime "
+                        "clamp guard, so the flat radius maximizes "
+                        "offset-growth headroom for every point")
     p.add_argument("--swin_type", default="base")
     p.add_argument("--seed", type=int, default=42)
     return p.parse_args(argv)
@@ -142,6 +150,10 @@ class Trainer:
                     # (EvalRunner's auto-raise is eval-only)
                     kw["window_radius"] = float(getattr(
                         args, "window_radius", 8.0))
+                    ppr = getattr(args, "window_point_radii", "")
+                    if ppr:
+                        kw["window_point_radii"] = tuple(
+                            float(r) for r in str(ppr).split(","))
                     # einsum-pair formulation: its backward parallelizes
                     # better than the tile-scan's sequential VJP
                     kw["window_scan_tiles"] = False

@@ -45,6 +45,10 @@ B = int(sys.argv[1]) if len(sys.argv) > 1 else 1
 #   PSALM_TB_FLASH=1   flash attention in Phi (train-side)
 REMAT = os.environ.get("PSALM_TB_REMAT", "1") == "1"
 RADIUS = float(os.environ.get("PSALM_TB_RADIUS", "8"))
+# PSALM_TB_POINT_RADII=2,4,6,8 -> per-point clamp radii (overrides RADIUS)
+POINT_RADII = tuple(
+    float(r) for r in os.environ.get("PSALM_TB_POINT_RADII", "").split(",")
+    if r)
 FLASH = os.environ.get("PSALM_TB_FLASH", "0") == "1"
 # PSALM_TB_STAGES=crit_fwd_bwd,full_step  -> run only those stages
 STAGES = [s for s in os.environ.get("PSALM_TB_STAGES", "").split(",") if s]
@@ -87,6 +91,7 @@ def main():
     cfg = cfg.replace(
         pixel_decoder=dataclasses.replace(
             cfg.pixel_decoder, attention_mode="window", window_radius=RADIUS,
+            window_point_radii=POINT_RADII,
             window_head_chunk=1,  # train setting: h>1 regresses the bwd
             window_scan_tiles=os.environ.get("PSALM_TB_SCAN", "0") == "1"),
         phi=dataclasses.replace(cfg.phi, lora_rank=8))
@@ -306,7 +311,8 @@ def main():
                   file=sys.stderr)
 
     results = {k: round(v * 1e3, 1) for k, v in results.items()}
-    print(json.dumps({"batch": B, "remat": REMAT, "radius": RADIUS,
+    print(json.dumps({"batch": B, "remat": REMAT,
+                      "radius": (list(POINT_RADII) or RADIUS),
                       "flash": FLASH, "ms": results,
                       "train_img_per_s_per_chip": round(
                           B / results["train_rate_step"] * 1e3, 3)

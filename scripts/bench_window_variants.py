@@ -101,21 +101,25 @@ def scan_rate_ms(fn, k=8, reps=3, grad=False):
 #   stays the training default — eins h4 66.65 / h8 68.41 regress.
 # This round: lax.scan unroll on the tile loop (the ~5 us/step hypothesis)
 # crossed with the h2 winner.
+# Round 5 of the sweep: PER-POINT radii (VERDICT r3 #3 attempt (a)). The
+# offset head's init bias magnitude is exactly (p+1) px for point p, so
+# (2,4,6,8) matches flat r8's 2x-init safety policy per point and (1,2,3,4)
+# matches flat r4's exact-at-init bound — at ~25-30% less stage-1 matmul
+# work (window width (t-1)f + 2 r_p + 3 per point group).
 VARIANTS = [
-    ("legacy scan h1 r8   ", dict(radius=8.0, scan_tiles=True)),
-    ("legacy scan h2 r8   ", dict(radius=8.0, scan_tiles=True, head_chunk=2)),
-    ("legacy scan h1 r8 u4", dict(radius=8.0, scan_tiles=True,
-                                  scan_unroll=4)),
-    ("legacy scan h1 r8 u8", dict(radius=8.0, scan_tiles=True,
-                                  scan_unroll=8)),
-    ("legacy scan h1 r8 u16", dict(radius=8.0, scan_tiles=True,
-                                   scan_unroll=16)),
-    ("legacy scan h2 r8 u4", dict(radius=8.0, scan_tiles=True, head_chunk=2,
-                                  scan_unroll=4)),
-    ("legacy scan h2 r8 u8", dict(radius=8.0, scan_tiles=True, head_chunk=2,
-                                  scan_unroll=8)),
-    ("legacy scan h2 r4 u8", dict(radius=4.0, scan_tiles=True, head_chunk=2,
-                                  scan_unroll=8)),
+    ("flat  scan h2 r8        ", dict(radius=8.0, scan_tiles=True,
+                                      head_chunk=2)),
+    ("pp    scan h2 (2,4,6,8) ", dict(radius=(2.0, 4.0, 6.0, 8.0),
+                                      scan_tiles=True, head_chunk=2)),
+    ("pp    scan h2 (1,2,3,4) ", dict(radius=(1.0, 2.0, 3.0, 4.0),
+                                      scan_tiles=True, head_chunk=2)),
+    ("flat  scan h2 r4        ", dict(radius=4.0, scan_tiles=True,
+                                      head_chunk=2)),
+    ("flat  eins h1 r8        ", dict(radius=8.0, scan_tiles=False)),
+    ("pp    eins h1 (2,4,6,8) ", dict(radius=(2.0, 4.0, 6.0, 8.0),
+                                      scan_tiles=False)),
+    ("pp    eins h1 (1,2,3,4) ", dict(radius=(1.0, 2.0, 3.0, 4.0),
+                                      scan_tiles=False)),
 ]
 
 print(f"shapes {SHAPES} S={S} M={M} D={D} P={P}  (device scan-diff ms/op)")
@@ -131,9 +135,8 @@ for name, kw in VARIANTS:
               flush=True)
 
 for name, kw in VARIANTS:
-    if not any(k in name for k in ("eins", "r4", " u")):
-        continue  # bwd for train-relevant variants (einsum baseline won
-        # round 1 at 50.19 ms; unrolled scan is the new challenger)
+    if "eins" not in name:
+        continue  # bwd for train-relevant (einsum) variants only
     fn = functools.partial(ms_deform_attn_window, spatial_shapes=SHAPES, **kw)
     f = lambda v, l, a, fn=fn: fn(v, sampling_locations=l,
                                   attention_weights=a)

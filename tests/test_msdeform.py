@@ -216,6 +216,81 @@ def test_msda_window_clamps_beyond_radius(fold):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+def test_msda_window_per_point_radii_exact():
+    """Per-point radii: exact vs the unclamped oracle when each point p's
+    offsets stay within its own radius r_p (the init-structure bound:
+    |bias_p| = p+1 px, ms_deform_attn.py:66-74)."""
+    from psalm_tpu.ops.msdeform_window import ms_deform_attn_window
+    radii = (1.0, 2.0, 3.0, 4.0)
+    shapes = ((8, 8), (16, 16), (32, 32))
+    # build offsets bounded per point: reuse _encoder_case at the max radius
+    # then rescale each point's offsets into its own radius
+    value, loc, attn = _encoder_case(5, shapes, max_off=1.0)
+    refs = []
+    for (H, W) in shapes:
+        ys = (np.arange(H) + 0.5) / H
+        xs = (np.arange(W) + 0.5) / W
+        gy, gx = np.meshgrid(ys, xs, indexing="ij")
+        refs.append(np.stack([gx.ravel(), gy.ravel()], -1))
+    ref = np.concatenate(refs, 0)[None, :, None, None, None, :]
+    scale = (np.asarray(radii) - 0.25)[None, None, None, None, :, None]
+    loc = (ref + (loc - ref) * scale).astype(np.float32)  # off_p < r_p px
+    want = np.asarray(ms_deform_attn_xla(
+        jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(attn)))
+    got = np.asarray(ms_deform_attn_window(
+        jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(attn),
+        tile=8, radius=radii))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_msda_window_per_point_radii_clamp_and_grads():
+    """Beyond a point's radius the clamp applies per point; gradients match
+    the oracle run on the per-point-clamped locations."""
+    from psalm_tpu.ops.msdeform_window import ms_deform_attn_window
+    radii = (1.0, 2.0, 2.0, 3.0)  # includes an equal-radius group of 2
+    shapes = ((4, 4), (8, 8))
+    value, loc, attn = _encoder_case(6, shapes, max_off=8.0, B=1)
+    got = np.asarray(ms_deform_attn_window(
+        jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(attn),
+        tile=8, radius=radii))
+    assert np.isfinite(got).all()
+    refs = []
+    for (H, W) in shapes:
+        ys = (np.arange(H) + 0.5) / H
+        xs = (np.arange(W) + 0.5) / W
+        gy, gx = np.meshgrid(ys, xs, indexing="ij")
+        refs.append(np.stack([gx.ravel(), gy.ravel()], -1))
+    ref = np.concatenate(refs, 0)[None, :, None, None, None, :]
+    norm = np.array([[w, h] for (h, w) in shapes], np.float32)
+    npx = norm[None, None, None, :, None, :]
+    off_px = (loc - ref) * npx
+    rvec = np.asarray(radii)[None, None, None, None, :, None]
+    loc_cl = (ref + np.clip(off_px, -rvec, rvec) / npx).astype(np.float32)
+    want = np.asarray(ms_deform_attn_xla(
+        jnp.asarray(value), shapes, jnp.asarray(loc_cl), jnp.asarray(attn)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    # grads: window(loc) vs oracle(clamped-loc); all offsets IN-radius here
+    # so the clamp is the identity and grads must match the plain oracle
+    value2, loc2, attn2 = _encoder_case(7, shapes, max_off=0.75, B=1)
+
+    def loss(fn, v, l, a):
+        return jnp.sum(jnp.square(fn(v, shapes, l, a)))
+
+    g_ref = jax.grad(lambda v, l, a: loss(ms_deform_attn_xla, v, l, a),
+                     argnums=(0, 1, 2))(
+        jnp.asarray(value2), jnp.asarray(loc2), jnp.asarray(attn2))
+    g_win = jax.grad(
+        lambda v, l, a: loss(
+            lambda v_, s_, l_, a_: ms_deform_attn_window(
+                v_, s_, l_, a_, tile=8, radius=radii), v, l, a),
+        argnums=(0, 1, 2))(
+        jnp.asarray(value2), jnp.asarray(loc2), jnp.asarray(attn2))
+    for a, b in zip(g_ref, g_win):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-4)
+
+
 def test_msda_window_decoder_fallback():
     """Q != S falls back to the oracle exactly."""
     from psalm_tpu.ops.msdeform_window import ms_deform_attn_window
