@@ -46,7 +46,8 @@ BUCKET_HW = (640, 640)     # covers every COCO original
 BATCH = int(os.environ.get("PSALM_BENCH_BATCH", "1"))
 
 
-def _build(mode: str, radius: float):
+def _build(mode: str, radius):
+    # radius: float (flat clamp) or tuple of per-point radii (windowpp modes)
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -285,11 +286,14 @@ def main():
             spec = m[len("windowpp"):] or "2,4,6,8"
             radius = tuple(float(v) for v in spec.split(","))
             r = measure_mode("window", radius)
-            key = "window_pp" + "_".join(str(int(v)) for v in radius)
+            # lossless key: 2.0 -> "2", 2.5 -> "2.5" (fractional radii must
+            # not collide with their integer-truncated counterparts)
+            key = "window_pp" + "_".join(
+                f"{v:g}".replace(".", "p") for v in radius)
         elif m.startswith("window"):
             radius = float(m[len("window"):] or 8)
             r = measure_mode("window", radius)
-            key = f"window_r{int(radius)}"
+            key = f"window_r{radius:g}".replace(".", "p")
         else:
             r = measure_mode("deformable")
             key = "deformable_parity"

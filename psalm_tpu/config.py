@@ -210,6 +210,22 @@ class PixelDecoderConfig:
     # attention weights into one rank-P stencil per query, K = wh*ww MXU
     # contraction — see ops/msdeform_window.py::ms_deform_attn_window).
     window_fold_points: bool = False
+    # True: manual-VJP tile-scan core (ops/msdeform_window.py
+    # ::_group_sample_cvjp) — saves only the op inputs and keeps the big
+    # t1/d_t1 intermediates per-tile in the backward. Training-path knob
+    # (train/train.py); forward-only eval is unaffected by the VJP.
+    window_custom_vjp: bool = False
+
+    def __post_init__(self):
+        # Fail at config-build time with a clear message — a length mismatch
+        # otherwise surfaces as an opaque broadcast error at trace time
+        # (ADVICE r4). The op requires one radius per sampling point.
+        if self.window_point_radii and \
+                len(self.window_point_radii) != self.enc_points:
+            raise ValueError(
+                f"window_point_radii must have exactly enc_points="
+                f"{self.enc_points} entries, got "
+                f"{len(self.window_point_radii)}: {self.window_point_radii}")
 
 
 @dataclasses.dataclass(frozen=True)

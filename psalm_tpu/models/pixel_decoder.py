@@ -72,6 +72,7 @@ class MSDeformAttnLayer(nn.Module):
     window_scan_tiles: bool = True
     window_scan_unroll: int = 1
     window_fold_points: bool = False
+    window_custom_vjp: bool = False
 
     @nn.compact
     def __call__(self, query, src, reference_points, spatial_shapes):
@@ -109,6 +110,10 @@ class MSDeformAttnLayer(nn.Module):
         absoff = jnp.abs(offsets.astype(jnp.float32))
         self.sow("intermediates", "offset_max", jnp.max(absoff))
         rad = self.window_radius
+        if self.impl == "window_pallas3" and isinstance(rad, (tuple, list)):
+            # pallas3 clamps at a flat max(radii) — telemetry must report the
+            # radius the chosen impl actually applies (ADVICE r4).
+            rad = max(float(r) for r in rad)
         rad_vec = jnp.asarray(
             rad if isinstance(rad, (tuple, list)) else [float(rad)] * P,
             jnp.float32)[None, None, None, None, :, None]  # per-point
@@ -124,7 +129,8 @@ class MSDeformAttnLayer(nn.Module):
                                         head_chunk=self.window_head_chunk,
                                         scan_tiles=self.window_scan_tiles,
                                         scan_unroll=self.window_scan_unroll,
-                                        fold_points=self.window_fold_points)
+                                        fold_points=self.window_fold_points,
+                                        custom_vjp=self.window_custom_vjp)
         elif self.impl == "window_pallas3":
             from psalm_tpu.ops.msdeform_window_pallas3 import (
                 ms_deform_attn_window_pallas3)
@@ -200,6 +206,7 @@ class EncoderLayer(nn.Module):
                 window_scan_tiles=getattr(c, "window_scan_tiles", True),
                 window_scan_unroll=getattr(c, "window_scan_unroll", 1),
                 window_fold_points=getattr(c, "window_fold_points", False),
+                window_custom_vjp=getattr(c, "window_custom_vjp", False),
                 name="self_attn")(
                 src + pos, src, reference_points, spatial_shapes)
         src = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(src + src2)
