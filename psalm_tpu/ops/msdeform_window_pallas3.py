@@ -32,6 +32,8 @@ Two in-kernel x-stage variants (pick by microbench, `xstage=`):
 from __future__ import annotations
 
 import functools
+import os
+import warnings
 from typing import Sequence, Tuple
 
 import numpy as np
@@ -160,6 +162,23 @@ def ms_deform_attn_window_pallas3(
         # The tunneled TPU backend reports platform "axon", so test for CPU
         # rather than for "tpu".
         interpret = jax.default_backend() == "cpu"
+    if not interpret and jax.default_backend() == "axon" \
+            and not os.environ.get("PSALM_PALLAS3_FORCE"):
+        # The axon remote-compile helper crashes (no diagnostic) on
+        # pltpu.make_async_copy from a pl.ANY operand — bisected in
+        # scripts/debug_pallas3.py, recorded in docs/PALLAS_NOTES.md
+        # (round-4 addendum 3). Degrade to the XLA window formulation with
+        # the same clamp semantics instead of walking into the crash
+        # (VERDICT r4 #8). Set PSALM_PALLAS3_FORCE=1 to attempt anyway.
+        warnings.warn(
+            "window_pallas3 is not compilable on the axon backend "
+            "(remote-compile helper crash on HBM->VMEM DMA); falling back "
+            "to the XLA window formulation. Set PSALM_PALLAS3_FORCE=1 to "
+            "override.", RuntimeWarning, stacklevel=2)
+        from psalm_tpu.ops.msdeform_window import ms_deform_attn_window
+        return ms_deform_attn_window(
+            value, spatial_shapes, sampling_locations, attention_weights,
+            tile=max(tile, 16), radius=float(radius))
     B, S, M, D = value.shape
     _, Q, _, L, P, _ = sampling_locations.shape
     spatial_shapes = tuple(tuple(s) for s in spatial_shapes)

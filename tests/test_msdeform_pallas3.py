@@ -63,6 +63,24 @@ def test_pallas3_border_clamp_and_batch():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_pallas3_axon_fallback(monkeypatch):
+    """On the axon backend the kernel degrades gracefully to the XLA window
+    formulation with a RuntimeWarning instead of walking into the
+    remote-compile-helper crash (VERDICT r4 #8)."""
+    import psalm_tpu.ops.msdeform_window_pallas3 as p3
+    monkeypatch.setattr(p3.jax, "default_backend", lambda: "axon")
+    monkeypatch.delenv("PSALM_PALLAS3_FORCE", raising=False)
+    val, loc, attn = _inputs(seed=11)
+    want = ms_deform_attn_window(jnp.asarray(val), SHAPES, jnp.asarray(loc),
+                                 jnp.asarray(attn), tile=16, radius=8.0)
+    with pytest.warns(RuntimeWarning, match="window_pallas3"):
+        got = p3.ms_deform_attn_window_pallas3(
+            jnp.asarray(val), SHAPES, jnp.asarray(loc), jnp.asarray(attn),
+            tile=4, radius=8.0, interpret=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_pallas3_bf16():
     val, loc, attn = _inputs(seed=7)
     base = ms_deform_attn_window(
