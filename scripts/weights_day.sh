@@ -35,7 +35,10 @@ if [ "${WD_SKIP_GOLDENS:-0}" != "1" ]; then
   echo "   reference module with random init — load the corresponding"
   echo "   released sd subtree (ref.load_state_dict) before convert_*()"
   echo "   and re-run: python -m pytest tests/test_golden_reference.py -q"
-  python -m pytest tests/test_golden_reference.py -q
+  # WD_GOLDEN_ARGS narrows the run for CI-style invocations (e.g. '-k
+  # msdeform'); weights day runs the full suite (empty default).
+  python -m pytest tests/test_golden_reference.py -q ${WD_GOLDEN_ARGS:-}
+  echo "WD_GOLDENS_OK"
 fi
 
 echo "== 3. panoptic PQ vs the official GT scoring path =="

@@ -70,14 +70,21 @@ def test_weights_day_script_end_to_end(tmp_path):
 
     env = dict(os.environ,
                WD_CONFIG_JSON=cfg_json, WD_LIMIT="2", WD_MAX_LEN="512",
-               WD_SKIP_GOLDENS="1", JAX_PLATFORMS="cpu")
+               # run the golden-pinning stage through the script seam too
+               # (VERDICT r4 #6) — narrowed to one fast golden so the CI
+               # invocation stays bounded; weights day runs it unfiltered
+               WD_SKIP_GOLDENS="0",
+               WD_GOLDEN_ARGS="-k golden_msdeform_oracle",
+               JAX_PLATFORMS="cpu")
     proc = subprocess.run(
         ["bash", os.path.join(REPO, "scripts", "weights_day.sh"),
          hf, coco_root, refer_json, out],
-        env=env, cwd=REPO, capture_output=True, text=True, timeout=1200)
+        env=env, cwd=REPO, capture_output=True, text=True, timeout=1800)
     sys.stderr.write(proc.stdout[-4000:] + proc.stderr[-4000:])
     assert proc.returncode == 0
     assert "WEIGHTS_DAY_OK" in proc.stdout
+    # step 2 of the runbook ran as a script and emitted its marker
+    assert "WD_GOLDENS_OK" in proc.stdout
     # the converted dir is self-contained: orbax + config + tokenizer
     orbax = os.path.join(out, "orbax")
     assert os.path.exists(os.path.join(orbax, "psalm_tpu_config.json"))
