@@ -141,6 +141,136 @@ def _axis_weights(coord, ref, st, w_sz, n_v, radius, fold, dt):
             + w1[..., None] * jax.nn.one_hot(l1, w_sz, dtype=dt))
 
 
+def _axis_stencil_parts(coord, ref, st, w_sz, n_v, radius, dt):
+    """Stencil pieces for the manual VJP: the one-hot tap matrices, the
+    unit weight matrix A, and the ingredients of dA/dcoord.
+
+    dA/dcoord flows only through frac (floor/validity/indices are piecewise
+    constant): dw0/dc = -v0, dw1/dc = +v1, gated by the clamp-pass mask
+    (|coord - ref| <= radius, matching jnp.clip's subgradient support).
+    """
+    l0, l1, w0, w1 = _axis_taps(coord, ref, st, w_sz, n_v, radius, dt)
+    oh0 = jax.nn.one_hot(l0, w_sz, dtype=dt)
+    oh1 = jax.nn.one_hot(l1, w_sz, dtype=dt)
+    A = w0[..., None] * oh0 + w1[..., None] * oh1
+    delta = coord - ref
+    dcl = ((delta >= -radius) & (delta <= radius)).astype(dt)
+    c0i = jnp.floor(ref + jnp.clip(delta, -radius, radius)).astype(jnp.int32)
+    v0 = ((c0i >= 0) & (c0i < n_v)).astype(dt)
+    v1 = ((c0i + 1 >= 0) & (c0i + 1 < n_v)).astype(dt)
+    return A, oh0, oh1, v0, v1, dcl
+
+
+@functools.lru_cache(maxsize=None)
+def _group_sample_cvjp(wh: int, ww: int, Hv: int, Wv: int, radius: float,
+                       nq: int, P: int, dtname: str, su: int):
+    """Manual-VJP point-group sampler (VERDICT r4 #2).
+
+    Why: AD of the einsum-pair formulation materializes the t1 = Ay @ win
+    intermediate ([s, ww*D] per tile, T tiles) and its cotangent in HBM —
+    6 x 36.5 ms = 219 ms of the 351 ms training backward (TRAIN_BENCH_r04).
+    This VJP saves ONLY the op inputs, rebuilds the 2-tap axis stencils
+    (VPU-cheap) in the backward, and runs the three backward matmuls
+    (t1 recompute, d_Ay, d_win) per tile inside one lax.scan so t1/d_t1 are
+    VMEM-resident reused buffers — the same structure that makes the
+    tile-scan FORWARD the fastest variant (BASELINE.md round-4 sweeps).
+    Gradient math is exact (same piecewise-linear stencil derivative AD
+    computes; tests/test_msdeform.py::test_msda_window_custom_vjp_*).
+
+    Replaces the backward of the reference CUDA kernels
+    (ms_deform_im2col_cuda.cuh:306-850) — there a per-sample atomic-add
+    scatter; here matmuls against the same stencils.
+
+    Returns f(win, xh, yh, awh, ry, rx, sy_b, sx_b) -> [hc, B, T, nq, D]
+    (the point-group sum), where win [hc,B,T,wh,ww*D], xh/yh/awh
+    [hc,B,T,nq,P], ry/rx [1,T,nq,1], sy_b/sx_b [1,T,1,1].
+    """
+    dt = jnp.dtype(dtname)
+
+    def _fwd_compute(win, xh, yh, awh, ry, rx, sy_b, sx_b):
+        hc, B, T = xh.shape[:3]
+        D = win.shape[-1] // ww
+        Ay = _axis_weights(yh, ry, sy_b, wh, Hv, radius, None, dt).reshape(
+            hc, B, T, nq * P, wh)
+        Ax = _axis_weights(xh, rx, sx_b, ww, Wv, radius, awh.astype(dt),
+                           dt).reshape(hc, B, T, nq * P, ww)
+
+        def tile_body(_, ops_t):
+            ay, ax, wnl = ops_t
+            t1 = jnp.einsum("cbsh,cbhk->cbsk", ay, wnl)
+            t1 = t1.reshape(hc, B, nq * P, ww, D)
+            return None, (t1 * ax[..., None]).sum(3)
+
+        _, out = jax.lax.scan(
+            tile_body, None,
+            (jnp.moveaxis(Ay, 2, 0), jnp.moveaxis(Ax, 2, 0),
+             jnp.moveaxis(win, 2, 0)), unroll=su)
+        out = jnp.moveaxis(out, 0, 2)            # [hc,B,T,s,D]
+        return out.reshape(hc, B, T, nq, P, D).sum(4)
+
+    @jax.custom_vjp
+    def f(win, xh, yh, awh, ry, rx, sy_b, sx_b):
+        return _fwd_compute(win, xh, yh, awh, ry, rx, sy_b, sx_b)
+
+    def f_fwd(win, xh, yh, awh, ry, rx, sy_b, sx_b):
+        return (_fwd_compute(win, xh, yh, awh, ry, rx, sy_b, sx_b),
+                (win, xh, yh, awh, ry, rx, sy_b, sx_b))
+
+    def f_bwd(res, g):
+        win, xh, yh, awh, ry, rx, sy_b, sx_b = res
+        hc, B, T = xh.shape[:3]
+        D = win.shape[-1] // ww
+        Ayu, oh0y, oh1y, v0y, v1y, dcly = _axis_stencil_parts(
+            yh, ry, sy_b, wh, Hv, radius, dt)
+        Axu, oh0x, oh1x, v0x, v1x, dclx = _axis_stencil_parts(
+            xh, rx, sx_b, ww, Wv, radius, dt)
+        aw = awh.astype(dt)
+        Ay = Ayu.reshape(hc, B, T, nq * P, wh)
+        Ax = (Axu * aw[..., None]).reshape(hc, B, T, nq * P, ww)
+        # the P-sum's cotangent broadcast: every point sees the query's g
+        gs = jnp.broadcast_to(
+            g[:, :, :, :, None, :].astype(dt),
+            (hc, B, T, nq, P, D)).reshape(hc, B, T, nq * P, D)
+
+        def tile_body(_, ops_t):
+            ay, ax, wnl, gt = ops_t
+            # t1 recompute (cheap relative to an HBM round trip of the
+            # saved tensor) + the three backward contractions, all on
+            # VMEM-resident per-tile buffers
+            t1 = jnp.einsum("cbsh,cbhk->cbsk", ay, wnl)
+            t1 = t1.reshape(hc, B, nq * P, ww, D)
+            dax = jnp.einsum("cbswd,cbsd->cbsw", t1, gt)
+            dt1 = (ax[..., None] * gt[:, :, :, None, :]).reshape(
+                hc, B, nq * P, ww * D)
+            day = jnp.einsum("cbsk,cbhk->cbsh", dt1, wnl)
+            dwn = jnp.einsum("cbsh,cbsk->cbhk", ay, dt1)
+            return None, (dwn, dax, day)
+
+        _, (d_win, dAx, dAy) = jax.lax.scan(
+            tile_body, None,
+            (jnp.moveaxis(Ay, 2, 0), jnp.moveaxis(Ax, 2, 0),
+             jnp.moveaxis(win, 2, 0), jnp.moveaxis(gs, 2, 0)), unroll=su)
+        d_win = jnp.moveaxis(d_win, 0, 2)
+        dAx = jnp.moveaxis(dAx, 0, 2).reshape(hc, B, T, nq, P, ww)
+        dAy = jnp.moveaxis(dAy, 0, 2).reshape(hc, B, T, nq, P, wh)
+        # attention weights: out is linear in aw through Ax = aw * Axu
+        d_aw = jnp.sum(Axu * dAx, -1)
+        # coordinates: 2-tap stencil derivative (one-hot dots, no gathers)
+        dAx0 = jnp.sum(oh0x * dAx, -1)
+        dAx1 = jnp.sum(oh1x * dAx, -1)
+        d_x = aw * dclx * (v1x * dAx1 - v0x * dAx0)
+        dAy0 = jnp.sum(oh0y * dAy, -1)
+        dAy1 = jnp.sum(oh1y * dAy, -1)
+        d_y = dcly * (v1y * dAy1 - v0y * dAy0)
+        return (d_win.astype(win.dtype), d_x.astype(xh.dtype),
+                d_y.astype(yh.dtype), d_aw.astype(awh.dtype),
+                jnp.zeros_like(ry), jnp.zeros_like(rx),
+                jnp.zeros_like(sy_b), jnp.zeros_like(sx_b))
+
+    f.defvjp(f_fwd, f_bwd)
+    return f
+
+
 def ms_deform_attn_window(
     value: jnp.ndarray,
     spatial_shapes: Sequence[Tuple[int, int]],
@@ -153,6 +283,7 @@ def ms_deform_attn_window(
     scan_tiles: bool = True,
     scan_unroll: int = 1,
     fold_points: bool = False,
+    custom_vjp: bool = False,
 ) -> jnp.ndarray:
     """Windowed MSDeformAttn. Same signature/convention as ms_deform_attn_xla
     (value [B,S,M,D], locations [B,Q,M,L,P,2] in [0,1], weights [B,Q,M,L,P]);
@@ -168,6 +299,13 @@ def ms_deform_attn_window(
     per op on v5e); False (train-optimal) computes the tile batch with one
     einsum pair whose backward parallelizes better (train step 1.94 s vs
     2.16 s with the sequential scan VJP).
+
+    custom_vjp: route each point-group through the manual-VJP tile-scan core
+    (_group_sample_cvjp): the fast scan forward AND a hand-written backward
+    whose big intermediates stay per-tile (never materialized across tiles
+    in HBM) — targets the 6 x 36.5 ms einsum-VJP cost that dominates the
+    training backward (VERDICT r4 #2). Ignores scan_tiles (the core is
+    scan-formulated both ways); incompatible with fold_points.
 
     fold_points: the 2-D sampling-matrix formulation. The separable 2-stage
     form must keep the P sampling points distinct through the big y-stage
@@ -255,7 +393,8 @@ def ms_deform_attn_window(
                     vh, x_all[..., p0:p1], y_all[..., p0:p1],
                     aw_all[..., p0:p1], rx, ry,
                     Ty, thq, Tx, twq, Hq, Wq, Hv, Wv, rad, hc,
-                    scan_tiles, scan_unroll, fold_points, dt))
+                    scan_tiles, scan_unroll, fold_points, dt,
+                    custom_vjp=custom_vjp))
             contrib = contribs[0]
             for c in contribs[1:]:
                 contrib = contrib + c
@@ -270,7 +409,8 @@ def ms_deform_attn_window(
 
 
 def _level_group(vh, x, y, aw, rx, ry, Ty, thq, Tx, twq, Hq, Wq, Hv, Wv,
-                 radius, hc, scan_tiles, scan_unroll, fold_points, dt):
+                 radius, hc, scan_tiles, scan_unroll, fold_points, dt,
+                 custom_vjp=False):
     """One (query-level, value-level, point-group) contribution [M,B,T,nq,D].
 
     vh: head-major value level [M,B,Hv,Wv,D]; x/y: target-level pixel coords
@@ -305,6 +445,20 @@ def _level_group(vh, x, y, aw, rx, ry, Ty, thq, Tx, twq, Hq, Wq, Hv, Wv,
     su = max(1, min(int(scan_unroll), T))
     while T % su:
         su -= 1
+
+    if custom_vjp and not fold_points:
+        f = _group_sample_cvjp(wh, ww, Hv, Wv, float(radius), nq, P,
+                               jnp.dtype(dt).name, su)
+
+        def chunked_cv(a):
+            return a.reshape((M // hc, hc) + a.shape[1:])
+
+        outh = jax.lax.map(
+            lambda ops: f(ops[3], ops[0], ops[1], ops[2], ry, rx,
+                          sy_b, sx_b),
+            (chunked_cv(xh), chunked_cv(yh), chunked_cv(awh),
+             chunked_cv(win)))
+        return outh.reshape((M,) + outh.shape[2:])  # [M,B,T,nq,D], P summed
 
     def head_body(ops, wh=wh, ww=ww, nq=nq, Hv=Hv, Wv=Wv, hc=hc):
         xh_, yh_, awh_, wn = ops  # leading dim hc

@@ -96,6 +96,11 @@ def parse_args(argv=None):
                         "the flat --window_radius: training has no runtime "
                         "clamp guard, so the flat radius maximizes "
                         "offset-growth headroom for every point")
+    p.add_argument("--window_custom_vjp", type=int, default=-1,
+                   help="1 = manual-VJP tile-scan window core (keeps the "
+                        "t1/d_t1 intermediates per-tile in the backward, "
+                        "ops/msdeform_window.py); 0 = AD einsum pair; "
+                        "-1 (default) = the measured-best setting")
     p.add_argument("--swin_type", default="base")
     p.add_argument("--seed", type=int, default=42)
     return p.parse_args(argv)
@@ -157,6 +162,10 @@ class Trainer:
                     # einsum-pair formulation: its backward parallelizes
                     # better than the tile-scan's sequential VJP
                     kw["window_scan_tiles"] = False
+                    cv = int(getattr(args, "window_custom_vjp", -1))
+                    # -1 = measured-best (round-5 chip A/B pending; the AD
+                    # einsum pair is the current measured default)
+                    kw["window_custom_vjp"] = cv == 1
                     # head chunking regresses the einsum backward (r4 sweep:
                     # fbwd 50.2 ms at h1 vs 66.7/68.4 at h4/h8); the eval
                     # default h2 is a forward-only win

@@ -93,7 +93,9 @@ def main():
             cfg.pixel_decoder, attention_mode="window", window_radius=RADIUS,
             window_point_radii=POINT_RADII,
             window_head_chunk=1,  # train setting: h>1 regresses the bwd
-            window_scan_tiles=os.environ.get("PSALM_TB_SCAN", "0") == "1"),
+            window_scan_tiles=os.environ.get("PSALM_TB_SCAN", "0") == "1",
+            # PSALM_TB_CVJP=1: manual-VJP tile-scan core (VERDICT r4 #2)
+            window_custom_vjp=os.environ.get("PSALM_TB_CVJP", "0") == "1"),
         phi=dataclasses.replace(cfg.phi, lora_rank=8))
     K = cfg.num_classes + 1
     model = PSALM(cfg, dtype=jnp.bfloat16, remat=REMAT, use_flash=FLASH)
