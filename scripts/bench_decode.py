@@ -60,6 +60,45 @@ def gen_batch(cfg):
     return batch
 
 
+def steady_scan_rate(gen, batch, k1=16, k2=144, reps=3):
+    """Steady-state decode tok/s via the in-program difference method
+    (VERDICT r4 #5): ONE decode_chunk dispatch runs k sampled decode steps
+    under lax.scan with the (logits, pos, caches, rng) carry chaining them —
+    a real data dependency XLA cannot hoist. (T_k2 - T_k1)/(k2 - k1) cancels
+    the per-dispatch RPC floor and download cost exactly like
+    scripts/scan_timer.py, replacing the half-length request-difference
+    estimate whose tunnel-jitter amplification made the r4 batch x chunk
+    table non-monotone (BASELINE.md)."""
+    B = batch["tok_ids"].shape[0]
+    caches = gen.model.apply(
+        gen.variables, B, gen.max_len,
+        method=lambda m, b, s: m.phi.model.init_cache(b, s, gen.cache_dtype))
+    jbatch = {k: jnp.asarray(v) for k, v in batch.items()
+              if k in ("tok_ids", "src_type", "src_idx", "attention_mask",
+                       "images")}
+    logits, caches, pos = gen._prefill(gen.variables, jbatch, caches)
+    rng = jax.random.PRNGKey(0)
+    temp = jnp.zeros((B,), jnp.float32)
+
+    def run(k):
+        nonlocal logits, pos, caches, rng
+        t0 = time.perf_counter()
+        toks, logits, pos, caches, rng = gen._decode_chunk(
+            gen.variables, logits, pos, caches, rng, temp, k)
+        np.asarray(toks)  # host materialization = the reliable sync
+        return time.perf_counter() - t0
+
+    run(k1)  # compile both lengths (donated caches thread through)
+    run(k2)
+    per = []
+    for _ in range(reps):
+        t1 = run(k1)
+        t2 = run(k2)
+        per.append((t2 - t1) / (k2 - k1))
+    dt_tok = sorted(per)[len(per) // 2]
+    return B / max(dt_tok, 1e-9)
+
+
 def bench_variant(name, quant_bits, cast_bf16, chunks=(16, 32, 64, 128),
                   storage="packed"):
     import dataclasses
@@ -91,30 +130,31 @@ def bench_variant(name, quant_bits, cast_bf16, chunks=(16, 32, 64, 128),
     gen = Generator(model, variables, max_len=MAX_LEN)
     batch = gen_batch(cfg)
     out = {}
+    # one chunk-independent device-true steady rate (scan-difference)
+    steady = steady_scan_rate(gen, batch)
+    out["steady_scan"] = round(steady, 1)
+    print(f"[{name}] steady-state decode (scan-difference, device): "
+          f"{steady:.1f} tok/s aggregate", file=sys.stderr)
     for chunk in chunks:
         t0 = time.perf_counter()
         toks = gen.generate(batch, max_new_tokens=NEW_TOKENS,
                             chunk_size=chunk)
         warm = time.perf_counter() - t0  # includes compile
-        # full-request rate (prefill + decode in the denominator)
-        t0 = time.perf_counter()
-        toks = gen.generate(batch, max_new_tokens=NEW_TOKENS,
-                            chunk_size=chunk)
-        dt = time.perf_counter() - t0
+        # full-request rate (prefill + decode + dispatch overheads in the
+        # denominator) — the number the serving (B, chunk) choice is made
+        # from, since the chunk size only changes dispatch amortization
+        reqs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            toks = gen.generate(batch, max_new_tokens=NEW_TOKENS,
+                                chunk_size=chunk)
+            reqs.append(time.perf_counter() - t0)
+        dt = sorted(reqs)[len(reqs) // 2]
         tps = toks.shape[0] * toks.shape[1] / dt  # aggregate over batch
-        # steady-state decode rate: difference method (full vs half-length
-        # request at the same chunk size) cancels prefill and per-request
-        # fixed costs; per-chunk dispatch overheads stay in, proportionally
-        half = NEW_TOKENS // 2
-        t0 = time.perf_counter()
-        gen.generate(batch, max_new_tokens=half, chunk_size=chunk)
-        dt_short = time.perf_counter() - t0
-        steady = (toks.shape[0] * (NEW_TOKENS - half)
-                  / max(dt - dt_short, 1e-9))
-        out[chunk] = {"request": round(tps, 1), "decode": round(steady, 1)}
-        print(f"[{name}] chunk={chunk}: {tps:.1f} tok/s request, "
-              f"{steady:.1f} tok/s steady-state decode "
-              f"(first incl compile {warm:.1f}s)", file=sys.stderr)
+        out[chunk] = {"request": round(tps, 1)}
+        print(f"[{name}] chunk={chunk}: {tps:.1f} tok/s request "
+              f"(median of 3; first incl compile {warm:.1f}s)",
+              file=sys.stderr)
     return out
 
 
