@@ -310,7 +310,13 @@ def main():
             primary = r
 
     winner = max(("blocking", "pipelined", "device"), key=lambda k: primary[k])
+    # corroboration (VERDICT r4 weak #6): when dispatch overlap is healthy,
+    # the pipelined wall rate must independently confirm the device-scan
+    # headline; False = the tunnel degraded overlapped dispatches that run
+    # (the known failure mode this artifact is designed to survive)
+    corroborated = primary["pipelined"] >= 0.85 * primary["device"]
     print(json.dumps({
+        "pipelined_corroborates_headline": corroborated,
         "metric": "images_per_sec_per_chip_coco_panoptic_eval",
         "value": round(primary["ips"], 3),
         "unit": "images/sec",

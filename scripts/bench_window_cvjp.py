@@ -104,7 +104,53 @@ VARIANTS = [
                                       scan_tiles=True, head_chunk=2)),
 ]
 
+def scan_rate_ms_partial(fn, argnums, k=5, reps=3):
+    """fwd+bwd with grads restricted to ``argnums`` — differencing against
+    the all-args row isolates per-input backward costs (e.g. the d_value
+    un-windowing scatter = all-args minus (1,2))."""
+    def loss(v, l, a):
+        return jnp.sum(jnp.square(fn(v, l, a).astype(jnp.float32)))
+    g = jax.grad(loss, argnums=argnums)
+
+    def one(v, l, a):
+        gs = g(v, l, a)
+        return sum(jnp.sum(x.astype(jnp.float32)) for x in gs)
+
+    def run_k(v, l, a, length):
+        def body(c, _):
+            return one(v, l + c * 1e-30, a).astype(jnp.float32), None
+        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=length)
+        return c
+
+    jitted = jax.jit(run_k, static_argnums=3)
+    for length in (1, k):
+        float(jitted(val_d, loc_d, attn_d, length))
+    per = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(jitted(val_d, loc_d, attn_d, 1))
+        t1 = time.perf_counter()
+        float(jitted(val_d, loc_d, attn_d, k))
+        t2 = time.perf_counter()
+        per.append(((t2 - t1) - (t1 - t0)) / (k - 1))
+    return sorted(per)[len(per) // 2] * 1e3
+
+
 print(f"shapes {SHAPES} S={S} M={M} D={D} P={P}  (device scan-diff ms/op)")
+# backward attribution at the winning config: which input's grad is the cost?
+_attr = functools.partial(ms_deform_attn_window, spatial_shapes=SHAPES,
+                          radius=8.0, custom_vjp=True)
+_attr_f = lambda v, l, a: _attr(v, sampling_locations=l, attention_weights=a)
+for args, label in (((1, 2), "loc+attn only (no d_value)"),
+                    ((0,), "value only"),
+                    ((0, 1, 2), "all")):
+    try:
+        ms = scan_rate_ms_partial(_attr_f, args)
+        print(f"fbwd cvjp r8 grads {label:<28} {ms:8.2f} ms", flush=True)
+    except Exception as e:  # noqa: BLE001
+        print(f"fbwd cvjp r8 grads {label} FAILED: {str(e)[:120]}",
+              flush=True)
+
 for name, kw in VARIANTS:
     fn = functools.partial(ms_deform_attn_window, spatial_shapes=SHAPES, **kw)
     f = lambda v, l, a, fn=fn: fn(v, sampling_locations=l,
