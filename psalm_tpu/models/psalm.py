@@ -64,6 +64,12 @@ class PSALM(nn.Module):
     cfg: PSALMConfig
     dtype: Any = jnp.float32
     remat: bool = False
+    # pixel-decoder remat override (None = follow ``remat``). With the
+    # window op's manual VJP (config window_custom_vjp) only the op INPUTS
+    # are saved (~100 MB/encoder-layer at B=1 1024^2), so rematerializing
+    # the encoder layers buys little memory while costing a full encoder
+    # forward recompute in the backward — False skips it (VERDICT r4 #2).
+    remat_pixel: Any = None
     train_backbone: bool = False
     use_flash: bool = False
 
@@ -74,9 +80,10 @@ class PSALM(nn.Module):
                                             name=None)
         self.phi = PhiForCausalLM(c.phi, dtype=self.dtype, remat=self.remat,
                                   use_flash=self.use_flash)
-        self.pixel_decoder = MSDeformAttnPixelDecoder(c.pixel_decoder,
-                                                      dtype=self.dtype,
-                                                      remat=self.remat)
+        self.pixel_decoder = MSDeformAttnPixelDecoder(
+            c.pixel_decoder, dtype=self.dtype,
+            remat=(self.remat if self.remat_pixel is None
+                   else self.remat_pixel))
         self.predictor = MaskDecoder(c.mask_decoder, dtype=self.dtype)
         hd = c.mask_decoder.hidden_dim
         self.seg_query = self.param("seg_query", nn.initializers.zeros,

@@ -96,6 +96,12 @@ def parse_args(argv=None):
                         "the flat --window_radius: training has no runtime "
                         "clamp guard, so the flat radius maximizes "
                         "offset-growth headroom for every point")
+    p.add_argument("--remat_pixel_decoder", type=int, default=-1,
+                   help="1/0 = force pixel-decoder gradient checkpointing "
+                        "on/off; -1 follows --gradient_checkpointing. With "
+                        "--window_custom_vjp the encoder layers save only "
+                        "op inputs, so 0 trades ~600 MB (B=1) for skipping "
+                        "the encoder forward recompute in the backward")
     p.add_argument("--window_custom_vjp", type=int, default=-1,
                    help="1 = manual-VJP tile-scan window core (keeps the "
                         "t1/d_t1 intermediates per-tile in the backward, "
@@ -176,8 +182,10 @@ class Trainer:
                     cfg.pixel_decoder, **kw))
         self.cfg = cfg
         dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+        rp = int(getattr(args, "remat_pixel_decoder", -1))
         self.model = model or PSALM(self.cfg, dtype=dtype,
-                                    remat=args.gradient_checkpointing)
+                                    remat=args.gradient_checkpointing,
+                                    remat_pixel=None if rp < 0 else rp == 1)
         self.variables = variables
         self.mesh = mesh
         self.criterion = PSALMCriterion(self.cfg.loss,

@@ -98,7 +98,11 @@ def main():
             window_custom_vjp=os.environ.get("PSALM_TB_CVJP", "0") == "1"),
         phi=dataclasses.replace(cfg.phi, lora_rank=8))
     K = cfg.num_classes + 1
-    model = PSALM(cfg, dtype=jnp.bfloat16, remat=REMAT, use_flash=FLASH)
+    # PSALM_TB_REMAT_PIX=0: skip pixel-decoder remat (with the custom VJP
+    # only op inputs are saved, so the encoder recompute buys little)
+    rp = os.environ.get("PSALM_TB_REMAT_PIX")
+    model = PSALM(cfg, dtype=jnp.bfloat16, remat=REMAT, use_flash=FLASH,
+                  remat_pixel=None if rp is None else rp == "1")
     batch = ge._panoptic_batch(cfg, B=B, num_classes=K)
     N = 20
     rng = np.random.RandomState(0)
