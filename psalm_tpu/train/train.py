@@ -143,43 +143,53 @@ def llm_ce_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(nll * valid) / jnp.maximum(valid.sum(), 1)
 
 
+def build_train_config(args) -> PSALMConfig:
+    """PSALMConfig from CLI args (the reference's training_args -> cfg path,
+    train.py:23-35). Extracted from Trainer.__init__ so the arg->config
+    policy (incl. measured-best defaults) is unit-testable without building
+    the model."""
+    cfg = PSALMConfig(
+        seg_task=SegTask(args.seg_task),
+        compute_dtype="bfloat16" if args.bf16 else "float32")
+    mode = getattr(args, "pixel_decoder_mode", "deformable")
+    if mode != "deformable":
+        import dataclasses as _dc
+        kw = dict(attention_mode=mode)
+        if mode == "window":
+            # training headroom: offsets grow past the init magnitude
+            # and no runtime radius guard exists inside a train step
+            # (EvalRunner's auto-raise is eval-only)
+            kw["window_radius"] = float(getattr(
+                args, "window_radius", 8.0))
+            ppr = getattr(args, "window_point_radii", "")
+            if ppr:
+                kw["window_point_radii"] = tuple(
+                    float(r) for r in str(ppr).split(","))
+            # einsum-pair formulation as the AD fallback: its backward
+            # parallelizes better than the tile-scan's sequential VJP
+            kw["window_scan_tiles"] = False
+            cv = int(getattr(args, "window_custom_vjp", -1))
+            # -1 = measured-best: the manual VJP (round-5 chip A/B:
+            # per-op fwd+bwd 43.6 vs 51.4 ms AD einsum at r8;
+            # full_step 453.9 vs 504.1 ms, BASELINE.md round-5)
+            kw["window_custom_vjp"] = cv != 0
+            # head chunking regresses the einsum backward (r4 sweep:
+            # fbwd 50.2 ms at h1 vs 66.7/68.4 at h4/h8); the eval
+            # default h2 is a forward-only win
+            kw["window_head_chunk"] = 1
+        if mode == "dense":
+            kw["transformer_nheads"] = 2
+        cfg = cfg.replace(pixel_decoder=_dc.replace(
+            cfg.pixel_decoder, **kw))
+    return cfg
+
+
 class Trainer:
     def __init__(self, args, cfg: Optional[PSALMConfig] = None, model=None,
                  variables=None, mesh=None):
         self.args = args
         if cfg is None:
-            cfg = PSALMConfig(
-                seg_task=SegTask(args.seg_task),
-                compute_dtype="bfloat16" if args.bf16 else "float32")
-            mode = getattr(args, "pixel_decoder_mode", "deformable")
-            if mode != "deformable":
-                import dataclasses as _dc
-                kw = dict(attention_mode=mode)
-                if mode == "window":
-                    # training headroom: offsets grow past the init magnitude
-                    # and no runtime radius guard exists inside a train step
-                    # (EvalRunner's auto-raise is eval-only)
-                    kw["window_radius"] = float(getattr(
-                        args, "window_radius", 8.0))
-                    ppr = getattr(args, "window_point_radii", "")
-                    if ppr:
-                        kw["window_point_radii"] = tuple(
-                            float(r) for r in str(ppr).split(","))
-                    # einsum-pair formulation: its backward parallelizes
-                    # better than the tile-scan's sequential VJP
-                    kw["window_scan_tiles"] = False
-                    cv = int(getattr(args, "window_custom_vjp", -1))
-                    # -1 = measured-best (round-5 chip A/B pending; the AD
-                    # einsum pair is the current measured default)
-                    kw["window_custom_vjp"] = cv == 1
-                    # head chunking regresses the einsum backward (r4 sweep:
-                    # fbwd 50.2 ms at h1 vs 66.7/68.4 at h4/h8); the eval
-                    # default h2 is a forward-only win
-                    kw["window_head_chunk"] = 1
-                if mode == "dense":
-                    kw["transformer_nheads"] = 2
-                cfg = cfg.replace(pixel_decoder=_dc.replace(
-                    cfg.pixel_decoder, **kw))
+            cfg = build_train_config(args)
         self.cfg = cfg
         dtype = jnp.bfloat16 if args.bf16 else jnp.float32
         rp = int(getattr(args, "remat_pixel_decoder", -1))

@@ -26,6 +26,29 @@ def _tiny_setup(tmp_path):
     return root, ds, cfg, model
 
 
+def test_build_train_config_window_defaults():
+    """Pins the arg->config policy for window mode: the manual VJP is the
+    measured-best default (-1), 0 opts out, radii/scan/h settings hold."""
+    from psalm_tpu.train.train import build_train_config, parse_args
+
+    args = parse_args(["--output_dir", "/tmp/x",
+                       "--pixel_decoder_mode", "window"])
+    pd = build_train_config(args).pixel_decoder
+    assert pd.attention_mode == "window"
+    assert pd.window_custom_vjp is True          # measured-best default
+    assert pd.window_scan_tiles is False          # AD fallback formulation
+    assert pd.window_head_chunk == 1
+    assert pd.window_radius == 8.0
+
+    args = parse_args(["--output_dir", "/tmp/x",
+                       "--pixel_decoder_mode", "window",
+                       "--window_custom_vjp", "0",
+                       "--window_point_radii", "2,4,6,8"])
+    pd = build_train_config(args).pixel_decoder
+    assert pd.window_custom_vjp is False
+    assert pd.window_point_radii == (2.0, 4.0, 6.0, 8.0)
+
+
 def test_train_loop_and_resume(tmp_path):
     from psalm_tpu.data.datasets import UnifiedTaskSampler
     from psalm_tpu.train.train import Trainer
