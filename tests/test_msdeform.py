@@ -335,6 +335,25 @@ def test_msda_window_custom_vjp_grads(radius, head_chunk):
                                    rtol=1e-4, atol=1e-4)
 
 
+def test_msda_window_custom_vjp_engages():
+    """The custom_vjp flag must actually route through _group_sample_cvjp
+    (a silent fall-through to the AD path would still pass the parity
+    tests while losing the measured backward win)."""
+    import psalm_tpu.ops.msdeform_window as mw
+    mw._group_sample_cvjp.cache_clear()
+    shapes = ((4, 4), (8, 8))
+    value, loc, attn = _encoder_case(15, shapes, max_off=1.0, B=1)
+    mw.ms_deform_attn_window(
+        jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(attn),
+        tile=8, radius=2.0, custom_vjp=True)
+    assert mw._group_sample_cvjp.cache_info().currsize > 0
+    mw._group_sample_cvjp.cache_clear()
+    mw.ms_deform_attn_window(
+        jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(attn),
+        tile=8, radius=2.0, custom_vjp=False)
+    assert mw._group_sample_cvjp.cache_info().currsize == 0
+
+
 def test_msda_window_custom_vjp_clamped_grads():
     """With out-of-radius offsets the clamp's zero-gradient region matches
     AD (jnp.clip subgradient): location grads vanish exactly where AD's do,
