@@ -226,6 +226,10 @@ class PixelDecoderConfig:
                 f"window_point_radii must have exactly enc_points="
                 f"{self.enc_points} entries, got "
                 f"{len(self.window_point_radii)}: {self.window_point_radii}")
+        if self.window_custom_vjp and self.window_fold_points:
+            raise ValueError(
+                "window_custom_vjp is incompatible with window_fold_points "
+                "(the manual VJP covers the separable formulation only)")
 
 
 @dataclasses.dataclass(frozen=True)

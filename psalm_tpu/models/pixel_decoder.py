@@ -134,11 +134,11 @@ class MSDeformAttnLayer(nn.Module):
         elif self.impl == "window_pallas3":
             from psalm_tpu.ops.msdeform_window_pallas3 import (
                 ms_deform_attn_window_pallas3)
+            # rad is the telemetry's effective radius (already flattened to
+            # max(radii) for this impl above) — one source of truth
             out = ms_deform_attn_window_pallas3(
                 value, spatial_shapes, loc, attn, tile=self.window_tile,
-                radius=(max(self.window_radius)
-                        if isinstance(self.window_radius, (tuple, list))
-                        else self.window_radius))
+                radius=rad)
         else:
             out = ms_deform_attn(value, spatial_shapes, loc, attn,
                                  impl=self.impl)

@@ -109,7 +109,10 @@ def _ref_grid(Hq: int, Wq: int, thq: int, twq: int, Hv: int, Wv: int):
 
 
 def _axis_taps(coord, ref, st, w_sz, n_v, radius, dt):
-    """Per-axis 2-tap stencil: (l0, l1 [..] int32 in [0, w_sz-1], w0, w1).
+    """Per-axis 2-tap stencil: (l0, l1 [..] int32 in [0, w_sz-1], w0, w1,
+    v0, v1, dcl) — the single source of the clamp/floor/validity semantics
+    (the manual VJP consumes the same tuple, so forward and backward can
+    never drift apart).
 
     coord/ref/st broadcast together (st = window starts). Offsets are
     clamped to ±radius around ref; corner validity uses global coords so
@@ -118,9 +121,12 @@ def _axis_taps(coord, ref, st, w_sz, n_v, radius, dt):
     docstring), so the per-tap index clips never move a live tap. The two
     indices clip independently: at a clipped (image-edge) window a valid
     corner0 may legitimately sit at position w_sz-1 while corner1 is
-    off-image with zero weight.
+    off-image with zero weight. dcl is the clamp-pass mask
+    (|coord - ref| <= radius, jnp.clip's subgradient support): dA/dcoord
+    flows through frac gated by dcl; dA/dref through (1 - dcl).
     """
-    c = ref + jnp.clip(coord - ref, -radius, radius)
+    delta = coord - ref
+    c = ref + jnp.clip(delta, -radius, radius)
     c0 = jnp.floor(c)
     frac = (c - c0).astype(dt)
     c0i = c0.astype(jnp.int32)
@@ -128,12 +134,14 @@ def _axis_taps(coord, ref, st, w_sz, n_v, radius, dt):
     v1 = ((c0i + 1 >= 0) & (c0i + 1 < n_v)).astype(dt)
     l0 = jnp.clip(c0i - st, 0, w_sz - 1)
     l1 = jnp.clip(c0i + 1 - st, 0, w_sz - 1)
-    return l0, l1, (1.0 - frac) * v0, frac * v1
+    dcl = ((delta >= -radius) & (delta <= radius)).astype(dt)
+    return l0, l1, (1.0 - frac) * v0, frac * v1, v0, v1, dcl
 
 
 def _axis_weights(coord, ref, st, w_sz, n_v, radius, fold, dt):
     """Per-axis 2-tap bilinear weight matrix A [..., w_sz] (XLA path)."""
-    l0, l1, w0, w1 = _axis_taps(coord, ref, st, w_sz, n_v, radius, dt)
+    l0, l1, w0, w1, _, _, _ = _axis_taps(coord, ref, st, w_sz, n_v, radius,
+                                         dt)
     if fold is not None:
         w0 = w0 * fold
         w1 = w1 * fold
@@ -142,22 +150,14 @@ def _axis_weights(coord, ref, st, w_sz, n_v, radius, fold, dt):
 
 
 def _axis_stencil_parts(coord, ref, st, w_sz, n_v, radius, dt):
-    """Stencil pieces for the manual VJP: the one-hot tap matrices, the
-    unit weight matrix A, and the ingredients of dA/dcoord.
-
-    dA/dcoord flows only through frac (floor/validity/indices are piecewise
-    constant): dw0/dc = -v0, dw1/dc = +v1, gated by the clamp-pass mask
-    (|coord - ref| <= radius, matching jnp.clip's subgradient support).
-    """
-    l0, l1, w0, w1 = _axis_taps(coord, ref, st, w_sz, n_v, radius, dt)
+    """Manual-VJP view of _axis_taps: the unit weight matrix A, the one-hot
+    tap matrices, and the dA/dcoord ingredients — all derived from the SAME
+    _axis_taps call the forward uses (no duplicated semantics)."""
+    l0, l1, w0, w1, v0, v1, dcl = _axis_taps(coord, ref, st, w_sz, n_v,
+                                             radius, dt)
     oh0 = jax.nn.one_hot(l0, w_sz, dtype=dt)
     oh1 = jax.nn.one_hot(l1, w_sz, dtype=dt)
     A = w0[..., None] * oh0 + w1[..., None] * oh1
-    delta = coord - ref
-    dcl = ((delta >= -radius) & (delta <= radius)).astype(dt)
-    c0i = jnp.floor(ref + jnp.clip(delta, -radius, radius)).astype(jnp.int32)
-    v0 = ((c0i >= 0) & (c0i < n_v)).astype(dt)
-    v1 = ((c0i + 1 >= 0) & (c0i + 1 < n_v)).astype(dt)
     return A, oh0, oh1, v0, v1, dcl
 
 
@@ -255,17 +255,30 @@ def _group_sample_cvjp(wh: int, ww: int, Hv: int, Wv: int, radius: float,
         dAy = jnp.moveaxis(dAy, 0, 2).reshape(hc, B, T, nq, P, wh)
         # attention weights: out is linear in aw through Ax = aw * Axu
         d_aw = jnp.sum(Axu * dAx, -1)
-        # coordinates: 2-tap stencil derivative (one-hot dots, no gathers)
+        # coordinates: 2-tap stencil derivative (one-hot dots, no gathers).
+        # d/dcoord flows through the clamp (gate dcl); d/dref through its
+        # complement (c = ref + clip(coord - ref): dc/dref = 1 - dcl).
         dAx0 = jnp.sum(oh0x * dAx, -1)
         dAx1 = jnp.sum(oh1x * dAx, -1)
-        d_x = aw * dclx * (v1x * dAx1 - v0x * dAx0)
+        s_x = v1x * dAx1 - v0x * dAx0
+        d_x = aw * dclx * s_x
         dAy0 = jnp.sum(oh0y * dAy, -1)
         dAy1 = jnp.sum(oh1y * dAy, -1)
-        d_y = dcly * (v1y * dAy1 - v0y * dAy0)
+        s_y = v1y * dAy1 - v0y * dAy0
+        d_y = dcly * s_y
+        # true ref cotangents (reduce the broadcast dims back to ry/rx's
+        # [1, T, nq, 1]) — ry/rx are static grids today, but a zero here
+        # would silently diverge from the AD path if they ever became
+        # traced (code-review r5)
+        d_ry = (((1.0 - dcly) * s_y).sum((0, 1, 4))[None, :, :, None]
+                .astype(ry.dtype))
+        d_rx = ((aw * (1.0 - dclx) * s_x).sum((0, 1, 4))[None, :, :, None]
+                .astype(rx.dtype))
+        # window starts enter only through integer tap indices (piecewise
+        # constant): their derivative is genuinely zero
         return (d_win.astype(win.dtype), d_x.astype(xh.dtype),
                 d_y.astype(yh.dtype), d_aw.astype(awh.dtype),
-                jnp.zeros_like(ry), jnp.zeros_like(rx),
-                jnp.zeros_like(sy_b), jnp.zeros_like(sx_b))
+                d_ry, d_rx, jnp.zeros_like(sy_b), jnp.zeros_like(sx_b))
 
     f.defvjp(f_fwd, f_bwd)
     return f
@@ -327,6 +340,13 @@ def ms_deform_attn_window(
         return _base.ms_deform_attn_xla(value, spatial_shapes,
                                         sampling_locations, attention_weights)
     dt = value.dtype
+    if custom_vjp and fold_points:
+        # the manual VJP is derived for the separable 2-stage form; a
+        # silent fall-through to the AD fold path would keep parity while
+        # losing the measured backward win (code-review r5)
+        raise ValueError("custom_vjp=True is incompatible with "
+                         "fold_points=True — the manual VJP covers the "
+                         "separable (unfolded) formulation only")
     if isinstance(radius, (tuple, list, np.ndarray)):
         radii = tuple(float(r) for r in radius)
         if len(radii) != P:

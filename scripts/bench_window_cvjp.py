@@ -53,23 +53,28 @@ loc_d = jnp.asarray(loc, jnp.float32)
 attn_d = jnp.asarray(attn, dt)
 
 
-def scan_rate_ms(fn, k=8, reps=3, grad=False):
-    """Device ms/op via the in-program scan difference method."""
+def scan_rate_ms(fn, k=8, reps=3, grad=False, argnums=(0, 1, 2)):
+    """Device ms/op via the in-program scan difference method.
+
+    grad=True times fwd+bwd; argnums restricts which inputs get gradients
+    (differencing two argnums rows isolates per-input backward costs,
+    e.g. the d_value un-windowing scatter = all-args minus (1, 2))."""
     if grad:
         def loss(v, l, a):
             return jnp.sum(jnp.square(fn(v, l, a).astype(jnp.float32)))
-        g = jax.grad(loss, argnums=(0, 1, 2))
+        g = jax.grad(loss, argnums=argnums)
 
         def one(v, l, a):
-            gv, gl, ga = g(v, l, a)
-            return (jnp.sum(gv.astype(jnp.float32))
-                    + jnp.sum(gl) + jnp.sum(ga.astype(jnp.float32)))
+            gs = g(v, l, a)
+            return sum(jnp.sum(x.astype(jnp.float32)) for x in gs)
     else:
         def one(v, l, a):
             return jnp.sum(fn(v, l, a).astype(jnp.float32))
 
     def run_k(v, l, a, length):
         def body(c, _):
+            # carry-dependent ~0 perturbation: a real data dependency XLA
+            # cannot constant-fold, so the loop body cannot be hoisted
             return one(v, l + c * 1e-30, a).astype(jnp.float32), None
         c, _ = jax.lax.scan(body, jnp.float32(0), None, length=length)
         return c
@@ -104,38 +109,6 @@ VARIANTS = [
                                       scan_tiles=True, head_chunk=2)),
 ]
 
-def scan_rate_ms_partial(fn, argnums, k=5, reps=3):
-    """fwd+bwd with grads restricted to ``argnums`` — differencing against
-    the all-args row isolates per-input backward costs (e.g. the d_value
-    un-windowing scatter = all-args minus (1,2))."""
-    def loss(v, l, a):
-        return jnp.sum(jnp.square(fn(v, l, a).astype(jnp.float32)))
-    g = jax.grad(loss, argnums=argnums)
-
-    def one(v, l, a):
-        gs = g(v, l, a)
-        return sum(jnp.sum(x.astype(jnp.float32)) for x in gs)
-
-    def run_k(v, l, a, length):
-        def body(c, _):
-            return one(v, l + c * 1e-30, a).astype(jnp.float32), None
-        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=length)
-        return c
-
-    jitted = jax.jit(run_k, static_argnums=3)
-    for length in (1, k):
-        float(jitted(val_d, loc_d, attn_d, length))
-    per = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        float(jitted(val_d, loc_d, attn_d, 1))
-        t1 = time.perf_counter()
-        float(jitted(val_d, loc_d, attn_d, k))
-        t2 = time.perf_counter()
-        per.append(((t2 - t1) - (t1 - t0)) / (k - 1))
-    return sorted(per)[len(per) // 2] * 1e3
-
-
 print(f"shapes {SHAPES} S={S} M={M} D={D} P={P}  (device scan-diff ms/op)")
 # backward attribution at the winning config: which input's grad is the cost?
 _attr = functools.partial(ms_deform_attn_window, spatial_shapes=SHAPES,
@@ -145,7 +118,7 @@ for args, label in (((1, 2), "loc+attn only (no d_value)"),
                     ((0,), "value only"),
                     ((0, 1, 2), "all")):
     try:
-        ms = scan_rate_ms_partial(_attr_f, args)
+        ms = scan_rate_ms(_attr_f, k=5, grad=True, argnums=args)
         print(f"fbwd cvjp r8 grads {label:<28} {ms:8.2f} ms", flush=True)
     except Exception as e:  # noqa: BLE001
         print(f"fbwd cvjp r8 grads {label} FAILED: {str(e)[:120]}",
