@@ -42,4 +42,10 @@ run_stage g1 3000 python scripts/bench_window_cvjp.py
 run_stage e1b 3600 env PSALM_DECODE_BATCH=4 python scripts/bench_decode.py int8
 run_stage c4b 3000 python bench.py
 
-echo "=== ALL DONE r5-resume ==="
+# only declare completion when every stage's done-marker exists —
+# otherwise the outer supervisor must relaunch to retry failed stages
+missing=0
+for s in c1 c2 c3 c4 d1 d2 f1 f3 e1 e2 g1 e1b c4b; do
+  [ -f "/tmp/r5done_$s" ] || { echo "stage $s incomplete"; missing=1; }
+done
+[ "$missing" = 0 ] && echo "=== ALL DONE r5-resume ==="
