@@ -193,9 +193,22 @@ class Trainer:
         self.cfg = cfg
         dtype = jnp.bfloat16 if args.bf16 else jnp.float32
         rp = int(getattr(args, "remat_pixel_decoder", -1))
+        if rp < 0:
+            # measured-best default (r5-resume f1: full step 382.7 vs
+            # 453.9 ms): with the manual window VJP only op inputs are
+            # saved, so skip the pixel-decoder remat at per-chip batch 1
+            # (~600 MB of residuals); keep it at larger batches until the
+            # B>=2 fit is confirmed
+            rp_flag = (False if (self.cfg.pixel_decoder.window_custom_vjp
+                                 and getattr(args,
+                                             "per_device_train_batch_size",
+                                             1) <= 1)
+                       else None)
+        else:
+            rp_flag = rp == 1
         self.model = model or PSALM(self.cfg, dtype=dtype,
                                     remat=args.gradient_checkpointing,
-                                    remat_pixel=None if rp < 0 else rp == 1)
+                                    remat_pixel=rp_flag)
         self.variables = variables
         self.mesh = mesh
         self.criterion = PSALMCriterion(self.cfg.loss,

@@ -49,6 +49,31 @@ def test_build_train_config_window_defaults():
     assert pd.window_point_radii == (2.0, 4.0, 6.0, 8.0)
 
 
+def test_trainer_remat_pixel_default(tmp_path):
+    """Measured-best remat policy: with the manual VJP at per-chip batch 1,
+    the pixel decoder skips gradient checkpointing (full step 382.7 vs
+    453.9 ms, BASELINE.md round 5); explicit --remat_pixel_decoder wins."""
+    from psalm_tpu.train.train import Trainer, parse_args
+
+    args = parse_args(["--output_dir", str(tmp_path),
+                       "--pixel_decoder_mode", "window",
+                       "--gradient_checkpointing", "1",
+                       "--per_device_train_batch_size", "1"])
+    t = Trainer(args)
+    assert t.model.remat_pixel is False
+    args = parse_args(["--output_dir", str(tmp_path),
+                       "--pixel_decoder_mode", "window",
+                       "--gradient_checkpointing", "1",
+                       "--per_device_train_batch_size", "2"])
+    t = Trainer(args)
+    assert t.model.remat_pixel is None  # follows remat at larger batches
+    args = parse_args(["--output_dir", str(tmp_path),
+                       "--pixel_decoder_mode", "window",
+                       "--remat_pixel_decoder", "1"])
+    t = Trainer(args)
+    assert t.model.remat_pixel is True
+
+
 def test_train_loop_and_resume(tmp_path):
     from psalm_tpu.data.datasets import UnifiedTaskSampler
     from psalm_tpu.train.train import Trainer
