@@ -213,9 +213,9 @@ def _forward(value, spatial_shapes, sampling_locations, attention_weights,
             yh = jnp.moveaxis(y, 3, 0)
             awh = jnp.moveaxis(aw, 3, 0)
             lx0, lx1, wx0, wx1 = _win._axis_taps(
-                xh, rx[None], sx_b[None], ww, Wv, radius, jnp.float32)
+                xh, rx[None], sx_b[None], ww, Wv, radius, jnp.float32)[:4]
             ly0, ly1, wy0, wy1 = _win._axis_taps(
-                yh, ry[None], sy_b[None], wh, Hv, radius, jnp.float32)
+                yh, ry[None], sy_b[None], wh, Hv, radius, jnp.float32)[:4]
             # fold the attention weights into the x taps (as the XLA path
             # does) so the kernel's P-sum directly yields the output
             wx0 = wx0 * awh
